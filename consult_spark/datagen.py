@@ -1,0 +1,245 @@
+"""Deterministic synthetic clip corpus with planted near-duplicate structure.
+
+The reference ships golden end-to-end fixtures (66,667-read FASTQ + expected
+``ucseq_`` output, README.md:85-99) that are absent from this copy
+(.MISSING_LARGE_BLOBS), so we synthesize our own per FIXTURES.md: WAV-PCM16
+clips + word-salad transcripts, a seeded 30% of bases carrying 1-4
+near-duplicate variants (SNR>=30dB perturbations), and one hot-bucket clique
+of mutually near-identical clips to force LSH skew (the analog of CONSULT's
+28-slot row overflow path, main_map.cpp:592-623).
+
+Every clip is a pure function of (master_seed, base_idx, variant_idx), so the
+corpus can be synthesized driver-side (small tiers) or executor-side via
+mapInPandas (bench tiers) with identical bytes either way.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+CLIP_COLUMNS = ["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"]
+CLIPS_SCHEMA = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string"
+)
+
+_SYLLABLES = [
+    "ba", "be", "bi", "bo", "bu", "da", "de", "di", "do", "du", "ka", "ke",
+    "ki", "ko", "ku", "la", "le", "li", "lo", "lu", "ma", "me", "mi", "mo",
+    "mu", "na", "ne", "ni", "no", "nu", "ra", "re", "ri", "ro", "ru", "sa",
+    "se", "si", "so", "su", "ta", "te", "ti", "to", "tu", "va", "ve", "vi",
+]
+
+
+def _vocab(seed: int, size: int = 512) -> list[str]:
+    rng = np.random.default_rng(seed)
+    words = set()
+    out = []
+    while len(out) < size:
+        n = int(rng.integers(2, 5))
+        w = "".join(rng.choice(_SYLLABLES) for _ in range(n))
+        if w not in words:
+            words.add(w)
+            out.append(w)
+    return out
+
+
+def _clip_rng(master_seed: int, base_idx: int, variant_idx: int) -> np.random.Generator:
+    return np.random.default_rng(
+        np.random.SeedSequence([master_seed & 0xFFFFFFFF, base_idx & 0xFFFFFFFF, variant_idx])
+    )
+
+
+def _wav_bytes(x: np.ndarray, sr: int) -> bytes:
+    """float [-1,1] -> RIFF/WAV PCM16 mono bytes."""
+    pcm = np.clip(np.round(x * 32767.0), -32768, 32767).astype("<i2")
+    body = pcm.tobytes()
+    n = len(body)
+    hdr = (
+        b"RIFF" + (36 + n).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")          # PCM
+        + (1).to_bytes(2, "little")          # mono
+        + sr.to_bytes(4, "little")
+        + (sr * 2).to_bytes(4, "little")     # byte rate
+        + (2).to_bytes(2, "little")          # block align
+        + (16).to_bytes(2, "little")         # bits
+        + b"data" + n.to_bytes(4, "little")
+    )
+    return hdr + body
+
+
+def _base_signal(rng: np.random.Generator) -> tuple[np.ndarray, int, int]:
+    """Seeded base clip: 2-4 sinusoids under a piecewise random-walk amplitude
+    envelope (the envelope is what gives the log-energy symbol sequence its
+    temporal structure), plus a -40 dBFS noise floor."""
+    sr = 16000 if rng.random() < 0.9 else 8000
+    dur_ms = int(rng.integers(800, 3001))
+    n = sr * dur_ms // 1000
+    t = np.arange(n, dtype=np.float64) / sr
+    x = np.zeros(n, dtype=np.float64)
+    for _ in range(int(rng.integers(2, 5))):
+        f = rng.uniform(100.0, 3000.0)
+        a = rng.uniform(0.05, 0.25)
+        ph = rng.uniform(0, 2 * np.pi)
+        x += a * np.sin(2 * np.pi * f * t + ph)
+    # piecewise-constant-ish envelope: random walk over ~100 ms segments,
+    # linearly interpolated
+    seg = max(2, n // (sr // 10))
+    walk = np.cumsum(rng.normal(0, 0.35, size=seg))
+    walk = np.exp(walk - walk.max())          # (0, 1]
+    env = np.interp(np.arange(n), np.linspace(0, n - 1, seg), walk)
+    x *= 0.2 + 0.8 * env
+    x += rng.normal(0, 10 ** (-40 / 20), size=n)  # noise floor -40 dBFS
+    peak = np.abs(x).max()
+    if peak > 0.99:
+        x *= 0.99 / peak
+    return x, sr, dur_ms
+
+
+def _perturb(x: np.ndarray, sr: int, rng: np.random.Generator, tiny: bool = False) -> np.ndarray:
+    """SNR>=30dB-preserving perturbation (FIXTURES.md: gain <= ±0.5 dB,
+    additive noise at >=35 dB SNR, <=5 ms zero-pad at tail)."""
+    gain_db = rng.uniform(-0.15, 0.15) * (0.2 if tiny else 1.0)
+    y = x * 10 ** (gain_db / 20)
+    sig_pow = np.mean(np.square(y)) or 1e-12
+    snr = rng.uniform(40.0, 50.0) if tiny else rng.uniform(36.0, 48.0)
+    y = y + rng.normal(0, np.sqrt(sig_pow / 10 ** (snr / 10)), size=y.shape[0])
+    if not tiny and rng.random() < 0.5:
+        y = np.concatenate([y, np.zeros(int(rng.integers(1, sr * 5 // 1000 + 1)))])
+    peak = np.abs(y).max()
+    if peak > 0.999:
+        y = y * (0.999 / peak)
+    return y
+
+
+def _transcript(rng: np.random.Generator, vocab: list[str]) -> str:
+    n = int(rng.integers(5, 41))
+    return " ".join(vocab[int(i)] for i in rng.integers(0, len(vocab), size=n))
+
+
+def _edit_transcript(s: str, rng: np.random.Generator) -> str:
+    """<=2 character edits (substitutions) — near-dup text that intentionally
+    fails the exact-equality invariant, per FIXTURES.md."""
+    chars = list(s)
+    for _ in range(int(rng.integers(1, 3))):
+        i = int(rng.integers(0, len(chars)))
+        chars[i] = chr(ord("a") + int(rng.integers(0, 26)))
+    return "".join(chars)
+
+
+# ----------------------------------------------------------------------
+# corpus layout: pure driver-side bookkeeping, cheap at any scale
+# ----------------------------------------------------------------------
+
+def corpus_layout(n_rows: int, seed: int = 42) -> pd.DataFrame:
+    """Plan the corpus: which rows exist, their group structure.
+
+    Returns DataFrame(clip_id, base_idx, variant_idx, group_kind) where
+    group_kind in ('solo','dup','hot'). variant_idx 0 = the base itself.
+    """
+    rng = np.random.default_rng(np.random.SeedSequence([seed, 0xC0]))
+    n_hot = max(50, int(0.005 * n_rows)) if n_rows >= 100 else max(6, n_rows // 20)
+    rows: list[tuple[str, int, int, str]] = []
+    # hot clique: one base, n_hot near-identical members
+    for j in range(n_hot):
+        rows.append((f"hot_{j:06d}", -1, j, "hot"))
+    base_idx = 0
+    while len(rows) < n_rows:
+        is_dup = rng.random() < 0.30
+        n_var = int(rng.integers(1, 5)) if is_dup else 0
+        kind = "dup" if n_var > 0 else "solo"
+        for v in range(0, n_var + 1):
+            if len(rows) >= n_rows:
+                break
+            rows.append((f"clip_{base_idx:08d}_v{v}", base_idx, v, kind))
+        base_idx += 1
+    return pd.DataFrame(rows, columns=["clip_id", "base_idx", "variant_idx", "group_kind"])
+
+
+def synthesize_rows(layout: pd.DataFrame, seed: int = 42) -> pd.DataFrame:
+    """Materialize clip rows for a slice of the layout. Pure per-row function
+    of (seed, base_idx, variant_idx) — safe to call on any partition slice."""
+    vocab = _vocab(seed ^ 0x7EA7)
+    out = []
+    for t in layout.itertuples(index=False):
+        if t.group_kind == "hot":
+            base_rng = _clip_rng(seed, -1, 0)
+            x, sr, dur_ms = _base_signal(base_rng)
+            tr = _transcript(_clip_rng(seed, -1, 1), vocab)
+            if t.variant_idx > 0:
+                y = _perturb(x, sr, _clip_rng(seed, -1, 1000 + t.variant_idx), tiny=True)
+            else:
+                y = x
+        else:
+            base_rng = _clip_rng(seed, t.base_idx, 0)
+            x, sr, dur_ms = _base_signal(base_rng)
+            tr_rng = _clip_rng(seed, t.base_idx, 1)
+            tr = _transcript(tr_rng, vocab)
+            if t.variant_idx == 0:
+                y = x
+            else:
+                vrng = _clip_rng(seed, t.base_idx, 1000 + t.variant_idx)
+                y = _perturb(x, sr, vrng)
+                if vrng.random() < 0.5:
+                    tr = _edit_transcript(tr, vrng)
+        out.append(
+            (
+                t.clip_id,
+                _wav_bytes(y, sr),
+                np.int32(sr),
+                np.int32(y.shape[0] * 1000 // sr),
+                "pcm_s16le",
+                tr,
+            )
+        )
+    return pd.DataFrame(out, columns=CLIP_COLUMNS)
+
+
+def truth_tables(layout: pd.DataFrame) -> dict[str, pd.DataFrame]:
+    """Ground-truth sidecars (FIXTURES.md): all planted dup pairs (a<b),
+    the transitive-closure clusters, and the unique set (ucseq analog)."""
+    pairs = []
+    clusters = []
+    for (kind, key), grp in layout.groupby(["group_kind", "base_idx"]):
+        ids = sorted(grp["clip_id"])
+        label = ids[0]
+        for cid in ids:
+            clusters.append((cid, label))
+        if kind in ("dup", "hot") and len(ids) > 1:
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    pairs.append((ids[i], ids[j], kind))
+    truth_pairs = pd.DataFrame(pairs, columns=["clip_a", "clip_b", "kind"])
+    truth_clusters = pd.DataFrame(clusters, columns=["clip_id", "cluster_id"])
+    sizes = truth_clusters.groupby("cluster_id")["clip_id"].transform("size")
+    truth_unique = truth_clusters.loc[sizes == 1, ["clip_id"]].reset_index(drop=True)
+    return {
+        "truth_pairs": truth_pairs,
+        "truth_clusters": truth_clusters,
+        "truth_unique": truth_unique,
+    }
+
+
+def generate_corpus_pandas(n_rows: int, seed: int = 42) -> dict[str, pd.DataFrame]:
+    """Driver-side generation (xs/s tiers)."""
+    layout = corpus_layout(n_rows, seed)
+    clips = synthesize_rows(layout, seed)
+    t = truth_tables(layout)
+    return {"clips": clips, "layout": layout, **t}
+
+
+def generate_corpus_spark(spark, n_rows: int, seed: int = 42, n_partitions: int | None = None):
+    """Executor-parallel generation (bench tiers): ship the layout, synthesize
+    bytes inside mapInPandas. Deterministic under any partitioning because
+    every row derives from its own SeedSequence."""
+    layout = corpus_layout(n_rows, seed)
+    n_partitions = n_partitions or max(8, n_rows // 1000)
+    ldf = spark.createDataFrame(layout).repartition(n_partitions, "clip_id")
+
+    def gen(batches):
+        for pdf in batches:
+            yield synthesize_rows(pdf, seed)
+
+    clips = ldf.mapInPandas(gen, schema=CLIPS_SCHEMA)
+    return clips, layout

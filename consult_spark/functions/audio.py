@@ -1,0 +1,196 @@
+"""Audio decode + feature kernels (NumPy, batch-oriented).
+
+The input table carries audio as an opaque ``binary`` column plus typed
+metadata (sr_hz, dur_ms, codec) per the contract schema.  Decode runs inside
+Arrow-batched UDFs — bytes in, float PCM out — with no per-row Python beyond
+the unavoidable per-clip container parse (the payloads are variable length,
+so a ragged loop over clips in the batch is the vectorization boundary;
+everything per-sample is numpy).
+
+Codec support: ``pcm_s16le`` in a RIFF/WAV container is implemented for real.
+Compressed codecs (mp3/opus/aac) need decoder libraries that are not in this
+image — they are STUBBED behind ``NotImplementedError`` with the dispatch,
+schema and batch plumbing real (see decode_clip).
+
+Feature design (the analog of CONSULT's k-mer alphabet): each clip becomes a
+sequence of coarse 4-bit symbols = mean-normalized log-energy per 10 ms hop,
+quantized at 1.5 dB/bin.  Mean-normalization makes the symbols gain-invariant
+(a ±0.5 dB gain change shifts every frame and the mean equally), and 30 dB-SNR
+noise moves log-energy by ~0.01 dB — far inside a bin — so the planted
+near-duplicate perturbations preserve the symbol string almost exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_RIFF = b"RIFF"
+_WAVE = b"WAVE"
+
+
+class AudioDecodeError(ValueError):
+    pass
+
+
+def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
+    """Parse a RIFF/WAV container with PCM16 samples -> (float32 mono in
+    [-1, 1], sample_rate).  Chunk-walking parser (not fixed 44-byte offset)
+    so extra chunks (LIST/fact) don't break it."""
+    if len(data) < 12 or data[:4] != _RIFF or data[8:12] != _WAVE:
+        raise AudioDecodeError("not a RIFF/WAVE container")
+    pos = 12
+    sr = None
+    n_channels = None
+    bits = None
+    pcm = None
+    n = len(data)
+    while pos + 8 <= n:
+        cid = data[pos : pos + 4]
+        csize = int.from_bytes(data[pos + 4 : pos + 8], "little")
+        body = data[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt ":
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            n_channels = int.from_bytes(body[2:4], "little")
+            sr = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if fmt_tag != 1 or bits != 16:
+                raise AudioDecodeError(f"unsupported wav fmt tag={fmt_tag} bits={bits}")
+        elif cid == b"data":
+            pcm = np.frombuffer(body[: csize - (csize % 2)], dtype="<i2")
+        pos += 8 + csize + (csize % 2)  # chunks are word-aligned
+    if sr is None or pcm is None:
+        raise AudioDecodeError("missing fmt/data chunk")
+    x = pcm.astype(np.float32) / 32768.0
+    if n_channels and n_channels > 1:
+        usable = (x.shape[0] // n_channels) * n_channels
+        x = x[:usable].reshape(-1, n_channels).mean(axis=1)  # mono mixdown
+    return x, sr
+
+
+def decode_clip(data: bytes, codec: str) -> tuple[np.ndarray, int]:
+    """Codec dispatch. Only pcm_s16le is decodable in this image; the other
+    branches are deliberate stubs that keep the Spark-side plumbing honest."""
+    if codec == "pcm_s16le":
+        return decode_wav_pcm16(data)
+    if codec in ("mp3", "opus", "aac", "flac", "vorbis"):
+        raise NotImplementedError(
+            f"codec {codec!r} requires an audio decoder library not present in "
+            "this environment; plug a decoder into decode_clip()"
+        )
+    raise AudioDecodeError(f"unknown codec {codec!r}")
+
+
+BAND_EDGES_HZ = (0.0, 500.0, 1000.0, 2000.0, 4000.0)
+RATIO_FLOOR_DB = -27.9
+RATIO_BIN_DB = 7.0
+RATIO_LEVELS = 4
+
+
+def frame_log_energy(x: np.ndarray, sr: int, frame_ms: int, hop_ms: int) -> np.ndarray:
+    """Per-frame log10 energy (dB) over sliding windows. float64[n_frames]."""
+    frame = max(1, sr * frame_ms // 1000)
+    hop = max(1, sr * hop_ms // 1000)
+    if x.shape[0] < frame:
+        if x.shape[0] == 0:
+            return np.empty(0, dtype=np.float64)
+        frame = x.shape[0]
+    # energy via cumsum of squares: O(n), exact
+    sq = np.square(x, dtype=np.float64)
+    cs = np.concatenate([[0.0], np.cumsum(sq)])
+    starts = np.arange(0, x.shape[0] - frame + 1, hop)
+    e = (cs[starts + frame] - cs[starts]) / frame
+    return 10.0 * np.log10(np.maximum(e, 1e-12))
+
+
+def frame_features(x: np.ndarray, sr: int, frame_ms: int, hop_ms: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-frame (log_energy_db[n], band_ratio_db[n, 4]).
+
+    Band ratios are per-band power over total power (dB), over fixed Hz bands
+    — gain-invariant by construction, and clamped at RATIO_FLOOR_DB so bands
+    holding only the noise floor quantize to a stable floor bin instead of
+    jittering with the noise."""
+    frame = max(1, sr * frame_ms // 1000)
+    hop = max(1, sr * hop_ms // 1000)
+    if x.shape[0] == 0:
+        return np.empty(0), np.empty((0, len(BAND_EDGES_HZ) - 1))
+    if x.shape[0] < frame:
+        frame = x.shape[0]
+    win = np.lib.stride_tricks.sliding_window_view(x, frame)[::hop]
+    e = np.square(win, dtype=np.float64).mean(axis=1)
+    log_e = 10.0 * np.log10(np.maximum(e, 1e-12))
+    spec = np.abs(np.fft.rfft(win, axis=1)) ** 2
+    freqs = np.fft.rfftfreq(frame, 1.0 / sr)
+    n_bands = len(BAND_EDGES_HZ) - 1
+    eb = np.empty((win.shape[0], n_bands), dtype=np.float64)
+    for i in range(n_bands):
+        lo, hi = BAND_EDGES_HZ[i], BAND_EDGES_HZ[i + 1]
+        mask = (freqs >= lo) & (freqs < hi) if i < n_bands - 1 else (freqs >= lo) & (freqs <= hi)
+        eb[:, i] = spec[:, mask].sum(axis=1) if mask.any() else 0.0
+    total = np.maximum(eb.sum(axis=1, keepdims=True), 1e-24)
+    ratio_db = 10.0 * np.log10(np.maximum(eb / total, 1e-12))
+    return log_e, np.clip(ratio_db, RATIO_FLOOR_DB, -0.001)
+
+
+def quantize_energy(db: np.ndarray, n_bins: int, bin_db: float, offset: float = 0.0) -> np.ndarray:
+    """Median-normalize then quantize log-energy to n_bins symbols (uint8).
+
+    Centered on the clip *median* so the code is gain-invariant (a gain change
+    shifts every frame and the median equally) and robust to a few outlier
+    frames (e.g. a zero-padded tail frame at -120 dB would drag a mean, not a
+    median). This is the engine's 'alphabet' — the role {A,C,G,T} plays in the
+    reference (2 bits there, 4 bits here)."""
+    if db.shape[0] == 0:
+        return np.empty(0, dtype=np.uint8)
+    centered = db - np.median(db)
+    idx = np.floor(centered / bin_db + offset).astype(np.int64) + n_bins // 2
+    return np.clip(idx, 0, n_bins - 1).astype(np.uint8)
+
+
+def symbols_from_features(log_e: np.ndarray, ratio_db: np.ndarray, n_bins: int,
+                          bin_db: float, offset: float = 0.0) -> np.ndarray:
+    """(features) -> 12-bit symbol sequence (uint16).
+
+    Symbol layout: bits 0-3 = median-centered quantized log-energy (temporal
+    structure); bits 4-11 = 4 spectral band-ratio bins x 2 bits (per-clip
+    timbre fingerprint).  The energy bits give the sequence its dynamics, the
+    spectral bits give unrelated clips nearly-disjoint shingle spaces.
+
+    ``offset`` (in bins) selects the quantization lattice; the shingle stage
+    emits the union of two lattices (offset 0 and 0.5): a value near a bin
+    boundary of one lattice is mid-bin in the other, so boundary jitter from
+    the 30 dB-SNR perturbation can break a window in at most one lattice.
+    The union-of-two-projections move is the same one CONSULT makes for
+    strand invariance — probing forward ∪ reverse-complement
+    (main_search.cpp:899-1018) — applied to quantization robustness."""
+    if log_e.shape[0] == 0:
+        return np.empty(0, dtype=np.uint16)
+    e_bin = quantize_energy(log_e, n_bins, bin_db, offset).astype(np.uint16)
+    r_bin = np.floor((ratio_db - RATIO_FLOOR_DB - 0.1) / RATIO_BIN_DB + offset).astype(np.int64)
+    r_bin = np.clip(r_bin, 0, RATIO_LEVELS - 1).astype(np.uint16)
+    sym = e_bin
+    for i in range(r_bin.shape[1]):
+        sym = sym | (r_bin[:, i] << np.uint16(4 + 2 * i))
+    return sym
+
+
+def pcm_symbols(data: bytes, codec: str, frame_ms: int, hop_ms: int,
+                n_bins: int, bin_db: float, offset: float = 0.0) -> np.ndarray:
+    """bytes -> 12-bit symbol sequence (uint16). The full decode stage."""
+    x, sr = decode_clip(data, codec)
+    log_e, ratio_db = frame_features(x, sr, frame_ms, hop_ms)
+    return symbols_from_features(log_e, ratio_db, n_bins, bin_db, offset)
+
+
+def snr_db(reference: np.ndarray, other: np.ndarray) -> float:
+    """SNR of `other` against `reference` (pads the shorter with zeros) —
+    used by the per-row invariant check (decoded-PCM allclose at SNR>=30dB)."""
+    n = max(reference.shape[0], other.shape[0])
+    a = np.zeros(n, dtype=np.float64)
+    b = np.zeros(n, dtype=np.float64)
+    a[: reference.shape[0]] = reference
+    b[: other.shape[0]] = other
+    noise = np.square(a - b).sum()
+    sig = np.square(a).sum()
+    if noise == 0:
+        return float("inf")
+    return 10.0 * np.log10(sig / noise)

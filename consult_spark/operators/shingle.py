@@ -1,0 +1,106 @@
+"""Decode + shingle + signature stage (mapInPandas).
+
+One Arrow-batched pass over the clips table produces, per clip and channel:
+the distinct shingle-hash set, the MinHash signature, the SimHash
+fingerprint, and the per-band LSH bucket hashes.  Computing all of it in one
+pass means the expensive part — audio decode — runs exactly once per clip
+(CONSULT likewise encodes each k-mer once and derives all L signatures from
+that encoding, main_map.cpp:550-584).
+
+Channels:
+  pcm — decoded audio -> per-frame 12-bit symbols (see functions/audio.py)
+        -> k_pcm-symbol windows packed into uint64 (the analog of
+        encodekmer's 2-bit pack, main_map.cpp:1221-1256), emitted for two
+        quantization lattices (offset 0 / 0.5) tagged into the hash.
+  txt — normalized transcript -> k_txt-char shingle hashes.
+
+Output schema (FEATURES_SCHEMA): arrays of int64 reinterpret the uint64
+hashes (bit-pattern preserved via .view) so they ride in Spark BIGINT
+columns; equality/join/xor semantics are unaffected.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from ..config import Config
+from ..functions import audio
+from ..functions import hashing as H
+
+FEATURES_SCHEMA = (
+    "clip_id string, kind string, n_shingles int, "
+    "shingles array<bigint>, minhash array<bigint>, simhash bigint, bands array<bigint>"
+)
+
+_LATTICE_TAGS = (np.uint64(0x9E2F), np.uint64(0xB7E1))
+
+
+def pcm_shingle_set(data: bytes, codec: str, cfg: Config) -> np.ndarray:
+    """Distinct uint64 shingle hashes for the audio channel of one clip."""
+    x, sr = audio.decode_clip(data, codec)
+    log_e, ratio_db = audio.frame_features(x, sr, cfg.frame_ms, cfg.hop_ms)
+    offsets = (0.0, 0.5) if cfg.dual_lattice else (0.0,)
+    parts = []
+    for li, off in enumerate(offsets):
+        sym = audio.symbols_from_features(log_e, ratio_db, cfg.energy_bins, cfg.energy_bin_db, off)
+        packed = H.pack_symbols_u64(sym.astype(np.uint64), cfg.k_pcm, cfg.symbol_bits)
+        if packed.shape[0]:
+            parts.append(H.hash_combine(packed, _LATTICE_TAGS[li]))
+    if not parts:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(parts))
+
+
+def txt_shingle_set(text: str, cfg: Config) -> np.ndarray:
+    """Distinct uint64 shingle hashes for the transcript channel."""
+    return H.text_shingle_hashes(text or "", cfg.k_txt)
+
+
+def featurize_pdf(pdf: pd.DataFrame, cfg: Config) -> pd.DataFrame:
+    """clips batch -> features batch (both channels). Pure pandas/numpy."""
+    rows_id: list[str] = []
+    rows_kind: list[str] = []
+    sets: list[np.ndarray] = []
+    for t in pdf.itertuples(index=False):
+        data = t.bytes if isinstance(t.bytes, bytes) else bytes(t.bytes)
+        for kind in cfg.channels:
+            if kind == "pcm":
+                s = pcm_shingle_set(data, t.codec, cfg)
+            else:
+                s = txt_shingle_set(t.transcript, cfg)
+            rows_id.append(t.clip_id)
+            rows_kind.append(kind)
+            sets.append(s)
+    mh = H.minhash_batch(sets, cfg.n_hashes, cfg.minhash_seed)
+    sh = H.simhash_batch(sets, cfg.simhash_bits, cfg.minhash_seed)
+    bh = H.band_hashes(mh, cfg.n_bands, cfg.rows_per_band, cfg.band_seed)
+    return pd.DataFrame(
+        {
+            "clip_id": rows_id,
+            "kind": rows_kind,
+            "n_shingles": [s.shape[0] for s in sets],
+            "shingles": [s.view(np.int64) for s in sets],
+            "minhash": list(mh.view(np.int64)),
+            "simhash": sh.view(np.int64),
+            "bands": list(bh.view(np.int64)),
+        }
+    )
+
+
+def featurize(clips_df, cfg: Config):
+    """Spark stage: clips DataFrame -> features DataFrame.
+
+    Column-prunes to exactly what the kernels need before the Python
+    boundary; `bytes` never travels further than this stage.
+    """
+    cols = ["clip_id", "bytes", "codec", "transcript"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield featurize_pdf(pdf, cfg)
+
+    return clips_df.select(*cols).mapInPandas(run, schema=FEATURES_SCHEMA)
