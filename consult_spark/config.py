@@ -45,7 +45,10 @@ class Config:
     # ---- SimHash fingerprint (analog of the two-plane `b` encoding + hd(),
     #      main_map.cpp:1221-1256 / 1296-1317) ----
     simhash_bits: int = 64
-    simhash_max_hamming: int = 3  # p (reference default p=3, main_map.cpp:198)
+    simhash_max_hamming: int = 3   # p (reference default p=3, main_map.cpp:198)
+    simhash_prefilter_max: int = 30  # generous hd() prefilter before the fat
+                                     # shingle join; tightened from measured
+                                     # dup-pair hamming distribution
 
     # ---- bucket capacity / skew bound (analog of the 28-slot row cap,
     #      main_map.cpp:62, 592-623) ----

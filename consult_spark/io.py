@@ -1,0 +1,112 @@
+"""Warehouse I/O: Iceberg when available, plain-Parquet fallback otherwise.
+
+Each logical table lives at ``<warehouse>/<name>`` (Parquet mode) or
+``local.db.<name>`` (Iceberg mode).  Every stage write also lands a manifest
+JSON — run_id, stage, config params_hash, row count, wall time — which is
+what makes runs resumable: a stage whose manifest exists with a matching
+params_hash is skipped on resume (the Parquet-mode analog of resuming from
+an Iceberg snapshot tag; CONSULT's equivalent contract is the metadata
+header that build writes and search refuses to run without,
+main_map.cpp:859-946 / main_search.cpp:164-381).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .config import Config
+from .session import iceberg_available
+
+
+@dataclass
+class Warehouse:
+    spark: SparkSession
+    root: str
+    cfg: Config
+    run_id: str = ""
+    use_iceberg: bool = False
+
+    def __post_init__(self) -> None:
+        if not self.run_id:
+            self.run_id = uuid.uuid4().hex[:12]
+        self.use_iceberg = iceberg_available()
+        if not self.use_iceberg:
+            os.makedirs(self.root, exist_ok=True)
+
+    # ---------------- paths / names ----------------
+    def _path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self.root, f"_manifest_{name}.json")
+
+    # ---------------- read / write ----------------
+    def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> int:
+        t0 = time.time()
+        if self.use_iceberg:
+            df.writeTo(f"local.db.{name}").createOrReplace()
+            n = self.spark.read.table(f"local.db.{name}").count()
+        else:
+            df.write.mode(mode).parquet(self._path(name))
+            n = self.spark.read.parquet(self._path(name)).count()
+        manifest = {
+            "table": name,
+            "run_id": self.run_id,
+            "params_hash": self.cfg.params_hash,
+            "rows": n,
+            "wall_sec": round(time.time() - t0, 3),
+            "ts": time.time(),
+        }
+        with open(self._manifest_path(name), "w") as f:
+            json.dump(manifest, f)
+        return n
+
+    def read(self, name: str) -> DataFrame:
+        if self.use_iceberg:
+            return self.spark.read.table(f"local.db.{name}")
+        return self.spark.read.parquet(self._path(name))
+
+    def exists(self, name: str) -> bool:
+        """True iff the table was completely written under the SAME config."""
+        mp = self._manifest_path(name)
+        if not os.path.exists(mp):
+            return False
+        try:
+            with open(mp) as f:
+                m = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return False
+        return m.get("params_hash") == self.cfg.params_hash
+
+    def manifest(self, name: str) -> dict | None:
+        mp = self._manifest_path(name)
+        if not os.path.exists(mp):
+            return None
+        with open(mp) as f:
+            return json.load(f)
+
+    # ---------------- config table ----------------
+    def write_config(self) -> None:
+        """Persist the frozen Config next to the data (CONSULT's _meta
+        contract: search reads masks back instead of trusting flags,
+        main_search.cpp:164-381)."""
+        pdf = self.spark.createDataFrame(
+            [(self.cfg.params_hash, self.cfg.to_json())], "params_hash string, config_json string"
+        )
+        self.write(pdf, "config")
+
+    def read_config(self) -> Config:
+        row = self.read("config").head()
+        cfg = Config.from_json(row["config_json"])
+        if cfg.params_hash != self.cfg.params_hash:
+            raise ValueError(
+                f"warehouse built with params_hash={cfg.params_hash}, "
+                f"session configured with {self.cfg.params_hash}; refusing to mix"
+            )
+        return cfg

@@ -1,0 +1,101 @@
+"""Connected components over confirmed pairs -> cluster assignments.
+
+CONSULT stops at per-read classification (matched / unmatched,
+main_search.cpp:883-894); the graft extends it to transitive clustering per
+the north rule.  Algorithm: alternating large-star / small-star min-label
+propagation (Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) expressed as DataFrame joins:
+
+  large-star: every node sends its smallest known label to all its
+              strictly-larger neighbors;
+  small-star: every node adopts the smallest label among its <=-neighbors.
+
+Implemented as the simpler alternating-min formulation: iterate
+``label(x) = min(label(x), min over neighbors of label(n))`` until a fixed
+point, with a deterministic tie order (labels are clip_ids, min = lexical).
+Convergence in O(log n) rounds on real graphs; each round is one shuffle.
+``localCheckpoint`` truncates the lineage every round so the plan doesn't
+grow exponentially (the iterative-DataFrame trap flagged in SURVEY §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import Config
+
+
+def connected_components(edges: DataFrame, cfg: Config) -> DataFrame:
+    """edges (clip_a, clip_b) -> (clip_id, cluster_id).
+
+    Only nodes that appear in edges are returned; callers union in
+    singletons (see assign_clusters). cluster_id = smallest clip_id in the
+    component — deterministic, no label renumbering needed to compare runs.
+    """
+    sym = edges.select(
+        F.col("clip_a").alias("src"), F.col("clip_b").alias("dst")
+    ).union(edges.select(F.col("clip_b").alias("src"), F.col("clip_a").alias("dst")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("nbr_min"))
+        .select(
+            F.col("src").alias("clip_id"),
+            F.least("src", "nbr_min").alias("label"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(cfg.cc_max_iters):
+        # propagate: candidate label for dst = min label among its neighbors
+        prop = (
+            sym.join(labels.withColumnsRenamed({"clip_id": "src"}), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnsRenamed({"dst": "clip_id"})
+        )
+        new_labels = (
+            labels.join(prop, "clip_id", "left")
+            .select(
+                "clip_id",
+                F.least(
+                    "label", F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "clip_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumnsRenamed({"label": "cluster_id"})
+
+
+def assign_clusters(clips: DataFrame, confirmed: DataFrame, cfg: Config) -> DataFrame:
+    """All clips -> (clip_id, cluster_id); singletons label themselves."""
+    comp = connected_components(
+        confirmed.select("clip_a", "clip_b"), cfg
+    )
+    singles = (
+        clips.select("clip_id")
+        .join(comp, "clip_id", "left_anti")
+        .withColumn("cluster_id", F.col("clip_id"))
+    )
+    return comp.unionByName(singles)
+
+
+def unique_clips(clips: DataFrame, confirmed: DataFrame) -> DataFrame:
+    """The anti-join output — clips with no confirmed dup partner (the
+    ucseq_ unclassified-reads analog, main_search.cpp:1021-1041, README.md:82)."""
+    members = confirmed.select(F.col("clip_a").alias("clip_id")).union(
+        confirmed.select(F.col("clip_b").alias("clip_id"))
+    )
+    return clips.join(members.distinct(), "clip_id", "left_anti")

@@ -1,0 +1,155 @@
+"""Candidate-pair verification: SimHash prefilter -> exact Jaccard ->
+suffix-array substring check -> threshold classification.
+
+CONSULT verifies every LSH candidate with an exact Hamming check
+(hd(b, candidate) <= p, main_search.cpp:867, 1238-1259) before it counts
+toward the read's match threshold (matched >= c, main_search.cpp:883-894).
+Our verification ladder, cheapest first:
+
+1. SimHash Hamming prefilter — JVM-side ``bit_count(simhash_a ^ simhash_b)``
+   on 8-byte fingerprints (the direct hd() analog; Spark >=3.3 bit_count,
+   whole-stage codegen).  Only survivors pay for the fat shingle join.
+2. Exact Jaccard re-score on the full shingle sets (Arrow-batched numpy).
+3. Suffix-array longest-common-substring containment on transcripts.
+
+Decision: pcm channel drives (audio near-dup); transcript similarity +
+containment is an independent confirmation path.  All scores are kept in the
+output so thresholds can be re-applied without recomputation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import Config
+from ..functions.suffixarray import substring_contained
+
+CONFIRMED_SCHEMA = (
+    "clip_a string, clip_b string, "
+    "pcm_jaccard double, txt_jaccard double, "
+    "pcm_hamming int, txt_hamming int, "
+    "n_bands_pcm int, n_bands_txt int, "
+    "lcs int, substr boolean, is_dup boolean"
+)
+
+
+def _channel_features(features: DataFrame, kind: str) -> DataFrame:
+    return features.filter(F.col("kind") == kind).select(
+        "clip_id", "shingles", "simhash"
+    )
+
+
+def channel_scores(pairs: DataFrame, features: DataFrame, kind: str, cfg: Config) -> DataFrame:
+    """pairs x features -> (clip_a, clip_b, jaccard, hamming) for one channel.
+
+    The simhash prefilter runs on the narrow (clip_id, simhash) projection
+    BEFORE the shingle arrays are joined in, so hot pairs that can't possibly
+    verify never move the fat payload across the shuffle.
+    """
+    feats = _channel_features(features, kind)
+    narrow = feats.select("clip_id", "simhash")
+    with_sim = (
+        pairs.select("clip_a", "clip_b")
+        .join(narrow.withColumnsRenamed({"clip_id": "clip_a", "simhash": "simhash_a"}), "clip_a")
+        .join(narrow.withColumnsRenamed({"clip_id": "clip_b", "simhash": "simhash_b"}), "clip_b")
+        .withColumn("hamming", F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))))
+    )
+    survivors = with_sim.filter(F.col("hamming") <= cfg.simhash_prefilter_max)
+    fat = feats.select("clip_id", "shingles")
+    joined = (
+        survivors.select("clip_a", "clip_b", "hamming")
+        .join(fat.withColumnsRenamed({"clip_id": "clip_a", "shingles": "sh_a"}), "clip_a")
+        .join(fat.withColumnsRenamed({"clip_id": "clip_b", "shingles": "sh_b"}), "clip_b")
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            jac = np.empty(len(pdf), dtype=np.float64)
+            for i, (sa, sb) in enumerate(zip(pdf["sh_a"], pdf["sh_b"])):
+                sa = np.asarray(sa, dtype=np.int64)
+                sb = np.asarray(sb, dtype=np.int64)
+                inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
+                union = sa.shape[0] + sb.shape[0] - inter
+                jac[i] = inter / union if union else 0.0
+            yield pd.DataFrame(
+                {
+                    "clip_a": pdf["clip_a"],
+                    "clip_b": pdf["clip_b"],
+                    "jaccard": jac,
+                    "hamming": pdf["hamming"].astype("int32"),
+                }
+            )
+
+    return joined.mapInPandas(
+        score, schema="clip_a string, clip_b string, jaccard double, hamming int"
+    )
+
+
+def transcript_scores(pairs: DataFrame, clips: DataFrame, cfg: Config) -> DataFrame:
+    """Suffix-array LCS containment per pair -> (clip_a, clip_b, lcs, substr)."""
+    tr = clips.select("clip_id", "transcript")
+    joined = (
+        pairs.select("clip_a", "clip_b")
+        .join(tr.withColumnsRenamed({"clip_id": "clip_a", "transcript": "tr_a"}), "clip_a")
+        .join(tr.withColumnsRenamed({"clip_id": "clip_b", "transcript": "tr_b"}), "clip_b")
+    )
+    min_frac = cfg.substr_min_frac
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            lcs = np.empty(len(pdf), dtype=np.int64)
+            ok = np.empty(len(pdf), dtype=bool)
+            for i, (a, b) in enumerate(zip(pdf["tr_a"], pdf["tr_b"])):
+                ok[i], lcs[i] = substring_contained(a or "", b or "", min_frac)
+            yield pd.DataFrame(
+                {"clip_a": pdf["clip_a"], "clip_b": pdf["clip_b"], "lcs": lcs, "substr": ok}
+            )
+
+    return joined.mapInPandas(
+        score, schema="clip_a string, clip_b string, lcs bigint, substr boolean"
+    )
+
+
+def confirm_pairs(candidates: DataFrame, features: DataFrame, clips: DataFrame, cfg: Config) -> DataFrame:
+    """Full verification -> CONFIRMED_SCHEMA rows (only pairs passing at
+    least one channel's confirmation, i.e. is_dup = true)."""
+    pcm = channel_scores(candidates, features, "pcm", cfg).withColumnsRenamed(
+        {"jaccard": "pcm_jaccard", "hamming": "pcm_hamming"}
+    )
+    txt = channel_scores(candidates, features, "txt", cfg).withColumnsRenamed(
+        {"jaccard": "txt_jaccard", "hamming": "txt_hamming"}
+    )
+    tr = transcript_scores(candidates, clips, cfg)
+    out = (
+        candidates.join(pcm, ["clip_a", "clip_b"], "left")
+        .join(txt, ["clip_a", "clip_b"], "left")
+        .join(tr, ["clip_a", "clip_b"], "left")
+        .withColumn("pcm_jaccard", F.coalesce("pcm_jaccard", F.lit(0.0)))
+        .withColumn("txt_jaccard", F.coalesce("txt_jaccard", F.lit(0.0)))
+        .withColumn("pcm_hamming", F.coalesce("pcm_hamming", F.lit(64)).cast("int"))
+        .withColumn("txt_hamming", F.coalesce("txt_hamming", F.lit(64)).cast("int"))
+        .withColumn("lcs", F.coalesce("lcs", F.lit(0)).cast("int"))
+        .withColumn("substr", F.coalesce("substr", F.lit(False)))
+        .withColumn(
+            "is_dup",
+            (F.col("pcm_jaccard") >= cfg.jaccard_threshold)
+            | ((F.col("txt_jaccard") >= cfg.txt_jaccard_threshold) & F.col("substr")),
+        )
+        .select(
+            "clip_a", "clip_b", "pcm_jaccard", "txt_jaccard",
+            "pcm_hamming", "txt_hamming",
+            F.col("n_bands_pcm").cast("int").alias("n_bands_pcm"),
+            F.col("n_bands_txt").cast("int").alias("n_bands_txt"),
+            "lcs", "substr", "is_dup",
+        )
+    )
+    return out.filter(F.col("is_dup"))
