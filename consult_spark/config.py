@@ -27,8 +27,8 @@ class Config:
     hop_ms: int = 10              # hop between frames
     energy_bins: int = 16         # quantization levels for median-normalized log-energy
     energy_bin_db: float = 1.5    # dB per quantization bin
-    symbol_bits: int = 12         # 4 energy bits + 4 spectral bands x 2 bits
-    k_pcm: int = 5                # symbols per PCM shingle; 5 x 12 bits = 60-bit pack
+    symbol_bits: int = 16         # 4 energy + 4 bands x 2 + 4 centroid bits
+    k_pcm: int = 4                # symbols per PCM shingle; 4 x 16 bits = 64-bit pack
                                   # (analog of encodekmer's 32 x 2-bit pack, main_map.cpp:1221-1256)
     dual_lattice: bool = True     # union of offset-0 and offset-0.5 quantization lattices
 

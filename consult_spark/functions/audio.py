@@ -84,6 +84,9 @@ BAND_EDGES_HZ = (0.0, 500.0, 1000.0, 2000.0, 4000.0)
 RATIO_FLOOR_DB = -27.9
 RATIO_BIN_DB = 7.0
 RATIO_LEVELS = 4
+CENTROID_BASE_HZ = 50.0
+CENTROID_BIN_LOG2 = 0.4
+CENTROID_LEVELS = 16
 
 
 def frame_log_energy(x: np.ndarray, sr: int, frame_ms: int, hop_ms: int) -> np.ndarray:
@@ -102,17 +105,23 @@ def frame_log_energy(x: np.ndarray, sr: int, frame_ms: int, hop_ms: int) -> np.n
     return 10.0 * np.log10(np.maximum(e, 1e-12))
 
 
-def frame_features(x: np.ndarray, sr: int, frame_ms: int, hop_ms: int) -> tuple[np.ndarray, np.ndarray]:
-    """Per-frame (log_energy_db[n], band_ratio_db[n, 4]).
+def frame_features(
+    x: np.ndarray, sr: int, frame_ms: int, hop_ms: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-frame (log_energy_db[n], band_ratio_db[n, 4], peak_log2[n]).
 
     Band ratios are per-band power over total power (dB), over fixed Hz bands
     — gain-invariant by construction, and clamped at RATIO_FLOOR_DB so bands
     holding only the noise floor quantize to a stable floor bin instead of
-    jittering with the noise."""
+    jittering with the noise.  The dominant-peak frequency (log2 of the
+    argmax FFT bin's Hz) pins the clip's actual frequency content: two
+    unrelated low-dynamics clips can share coarse energy/band patterns, but
+    rarely the same peak bin — unlike a spectral centroid, which concentrates
+    around the middle of the spectrum for any multi-component mix."""
     frame = max(1, sr * frame_ms // 1000)
     hop = max(1, sr * hop_ms // 1000)
     if x.shape[0] == 0:
-        return np.empty(0), np.empty((0, len(BAND_EDGES_HZ) - 1))
+        return np.empty(0), np.empty((0, len(BAND_EDGES_HZ) - 1)), np.empty(0)
     if x.shape[0] < frame:
         frame = x.shape[0]
     win = np.lib.stride_tricks.sliding_window_view(x, frame)[::hop]
@@ -128,7 +137,9 @@ def frame_features(x: np.ndarray, sr: int, frame_ms: int, hop_ms: int) -> tuple[
         eb[:, i] = spec[:, mask].sum(axis=1) if mask.any() else 0.0
     total = np.maximum(eb.sum(axis=1, keepdims=True), 1e-24)
     ratio_db = 10.0 * np.log10(np.maximum(eb / total, 1e-12))
-    return log_e, np.clip(ratio_db, RATIO_FLOOR_DB, -0.001)
+    peak_hz = freqs[np.argmax(spec, axis=1)]
+    peak_log2 = np.log2(np.maximum(peak_hz, CENTROID_BASE_HZ) / CENTROID_BASE_HZ)
+    return log_e, np.clip(ratio_db, RATIO_FLOOR_DB, -0.001), peak_log2
 
 
 def quantize_energy(db: np.ndarray, n_bins: int, bin_db: float, offset: float = 0.0) -> np.ndarray:
@@ -146,14 +157,16 @@ def quantize_energy(db: np.ndarray, n_bins: int, bin_db: float, offset: float = 
     return np.clip(idx, 0, n_bins - 1).astype(np.uint8)
 
 
-def symbols_from_features(log_e: np.ndarray, ratio_db: np.ndarray, n_bins: int,
+def symbols_from_features(log_e: np.ndarray, ratio_db: np.ndarray,
+                          centroid_log2: np.ndarray, n_bins: int,
                           bin_db: float, offset: float = 0.0) -> np.ndarray:
-    """(features) -> 12-bit symbol sequence (uint16).
+    """(features) -> 16-bit symbol sequence (uint16).
 
     Symbol layout: bits 0-3 = median-centered quantized log-energy (temporal
-    structure); bits 4-11 = 4 spectral band-ratio bins x 2 bits (per-clip
-    timbre fingerprint).  The energy bits give the sequence its dynamics, the
-    spectral bits give unrelated clips nearly-disjoint shingle spaces.
+    structure); bits 4-11 = 4 spectral band-ratio bins x 2 bits; bits 12-15 =
+    log-quantized spectral centroid.  The energy bits give the sequence its
+    dynamics, the band/centroid bits give unrelated clips nearly-disjoint
+    shingle spaces.
 
     ``offset`` (in bins) selects the quantization lattice; the shingle stage
     emits the union of two lattices (offset 0 and 0.5): a value near a bin
@@ -167,18 +180,20 @@ def symbols_from_features(log_e: np.ndarray, ratio_db: np.ndarray, n_bins: int,
     e_bin = quantize_energy(log_e, n_bins, bin_db, offset).astype(np.uint16)
     r_bin = np.floor((ratio_db - RATIO_FLOOR_DB - 0.1) / RATIO_BIN_DB + offset).astype(np.int64)
     r_bin = np.clip(r_bin, 0, RATIO_LEVELS - 1).astype(np.uint16)
+    c_bin = np.floor(centroid_log2 / CENTROID_BIN_LOG2 + offset).astype(np.int64)
+    c_bin = np.clip(c_bin, 0, CENTROID_LEVELS - 1).astype(np.uint16)
     sym = e_bin
     for i in range(r_bin.shape[1]):
         sym = sym | (r_bin[:, i] << np.uint16(4 + 2 * i))
-    return sym
+    return sym | (c_bin << np.uint16(12))
 
 
 def pcm_symbols(data: bytes, codec: str, frame_ms: int, hop_ms: int,
                 n_bins: int, bin_db: float, offset: float = 0.0) -> np.ndarray:
-    """bytes -> 12-bit symbol sequence (uint16). The full decode stage."""
+    """bytes -> 16-bit symbol sequence (uint16). The full decode stage."""
     x, sr = decode_clip(data, codec)
-    log_e, ratio_db = frame_features(x, sr, frame_ms, hop_ms)
-    return symbols_from_features(log_e, ratio_db, n_bins, bin_db, offset)
+    log_e, ratio_db, centroid = frame_features(x, sr, frame_ms, hop_ms)
+    return symbols_from_features(log_e, ratio_db, centroid, n_bins, bin_db, offset)
 
 
 def snr_db(reference: np.ndarray, other: np.ndarray) -> float:

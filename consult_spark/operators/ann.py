@@ -1,0 +1,145 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, per the scale ladder:
+
+  cosine_topk       — brute-force exact top-k, the baseline.  All-pairs
+                      similarity stays JVM-side via zip_with/aggregate on the
+                      quantized integer vectors (no explode, no Python).
+  lsh_bucketed_topk — the scale path: random-hyperplane signs bucket vectors
+                      (SimHash-for-cosine); candidates are generated only
+                      within buckets, then scored exactly.  The same
+                      band/bucket/cap algebra as the main pipeline, applied
+                      to embeddings.
+  near_dup_pairs    — embedding-cosine near-duplicate pairs (threshold form).
+
+Determinism across engines: components are quantized to integers
+(floor(v * 1000 + 0.5)) so dot products and norms are EXACT integer math in
+both Spark and DuckDB; only the final floor(1e6 * dot / sqrt(na * nb)) takes
+one deterministic IEEE-double step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+QUANT = 1000
+
+
+def load_embeddings(spark, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def quantized(emb: DataFrame) -> DataFrame:
+    """(vec_id, q array<bigint>, norm_q bigint): integer-quantized vectors."""
+    q = F.transform(
+        F.col("embedding"),
+        lambda v: F.floor(v.cast("double") * QUANT + F.lit(0.5)).cast("bigint"),
+    )
+    out = emb.select("vec_id", q.alias("q"))
+    norm = F.aggregate(
+        F.zip_with(F.col("q"), F.col("q"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return out.withColumn("norm_q", norm)
+
+
+def _sim_micro() -> F.Column:
+    dot = F.aggregate(
+        F.zip_with(F.col("q_a"), F.col("q_b"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return F.floor(
+        1_000_000.0 * dot / F.sqrt((F.col("na") * F.col("nb")).cast("double"))
+    ).cast("bigint")
+
+
+def _pair_scores(qa: DataFrame, qb: DataFrame) -> DataFrame:
+    a = qa.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("q_a"), F.col("norm_q").alias("na"))
+    b = qb.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("q_b"), F.col("norm_q").alias("nb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .withColumn("sim_micro", _sim_micro())
+        .select("vec_a", "vec_b", "sim_micro")
+    )
+
+
+def cosine_topk(emb: DataFrame, k: int = 3) -> DataFrame:
+    """Exact brute-force top-k neighbors per vector (the baseline path)."""
+    q = quantized(emb)
+    scores = _pair_scores(q, q)
+    w = Window.partitionBy("vec_a").orderBy(F.col("sim_micro").desc(), F.col("vec_b").asc())
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("vec_a", "vec_b", "sim_micro", "rank")
+    )
+
+
+def near_dup_pairs(emb: DataFrame, threshold_micro: int = 950_000) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (canonical vec_a < vec_b)."""
+    q = quantized(emb)
+    return (
+        _pair_scores(q, q)
+        .filter((F.col("vec_a") < F.col("vec_b")) & (F.col("sim_micro") >= threshold_micro))
+        .select("vec_a", "vec_b", "sim_micro")
+    )
+
+
+def hyperplane_buckets(emb: DataFrame, n_planes: int = 12, seed: int = 0xC05) -> DataFrame:
+    """Random-hyperplane LSH bucket id per vector (sign pattern of n_planes
+    pseudo-random projections).  Hyperplane components are deterministic
+    ±1 derived from md5 bits — portable, seedable, no RNG state.
+
+    bucket = sum over planes p of (1<<p if dot(q, h_p) > 0).
+    """
+    qdf = quantized(emb)
+    # h_p[i] = +1 if md5("seed:p:i") first hex nibble >= 8 else -1 ; built as
+    # a SQL expression over positions so it stays JVM-side.
+    planes = []
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("q"),
+                F.sequence(F.lit(0), F.size("q") - 1),
+                lambda v, i: F.when(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(str(seed)), F.lit(str(p)), i.cast("string")).cast("binary")),
+                        1,
+                        1,
+                    ).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                    v,
+                ).otherwise(-v),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        planes.append(F.when(proj > 0, F.shiftleft(F.lit(1), p)).otherwise(0))
+    bucket = planes[0]
+    for pl in planes[1:]:
+        bucket = bucket + pl
+    return qdf.withColumn("bucket", bucket.cast("bigint"))
+
+
+def lsh_bucketed_topk(emb: DataFrame, k: int = 3, n_planes: int = 12) -> DataFrame:
+    """Approximate top-k: exact scoring restricted to same-bucket candidates.
+    At 10^12 rows this replaces the O(n^2) cross join with a per-bucket
+    self-join (bucket sizes ~ n / 2^n_planes; tune n_planes to data size)."""
+    b = hyperplane_buckets(emb, n_planes=n_planes)
+    a = b.select("bucket", F.col("vec_id").alias("vec_a"), F.col("q").alias("q_a"), F.col("norm_q").alias("na"))
+    c = b.select("bucket", F.col("vec_id").alias("vec_b"), F.col("q").alias("q_b"), F.col("norm_q").alias("nb"))
+    scores = (
+        a.join(c, "bucket")
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .withColumn("sim_micro", _sim_micro())
+        .select("vec_a", "vec_b", "sim_micro")
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.col("sim_micro").desc(), F.col("vec_b").asc())
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("vec_a", "vec_b", "sim_micro", "rank")
+    )

@@ -10,12 +10,15 @@ SoCC'14) expressed as DataFrame joins:
               strictly-larger neighbors;
   small-star: every node adopts the smallest label among its <=-neighbors.
 
-Implemented as the simpler alternating-min formulation: iterate
-``label(x) = min(label(x), min over neighbors of label(n))`` until a fixed
-point, with a deterministic tie order (labels are clip_ids, min = lexical).
-Convergence in O(log n) rounds on real graphs; each round is one shuffle.
-``localCheckpoint`` truncates the lineage every round so the plan doesn't
-grow exponentially (the iterative-DataFrame trap flagged in SURVEY §7).
+Implemented as min-label propagation with pointer jumping: each round first
+takes ``label(x) = min(label(x), min over neighbors' labels)`` (the
+propagation step), then compresses paths with ``label(x) = label(label(x))``
+(the jumping step — the Spark-join form of union-find path halving).  The
+jump is what turns O(diameter) rounds into O(log n): a 1M-node path
+converges in ~20 rounds instead of 1M.  Ties are deterministic (labels are
+clip_ids, min = lexical).  ``localCheckpoint`` truncates lineage every round
+so the plan doesn't grow exponentially (the iterative-DataFrame trap flagged
+in SURVEY §7).
 """
 
 from __future__ import annotations
@@ -49,20 +52,26 @@ def connected_components(edges: DataFrame, cfg: Config) -> DataFrame:
     )
 
     for _ in range(cfg.cc_max_iters):
-        # propagate: candidate label for dst = min label among its neighbors
+        # 1) propagate: candidate label for dst = min label among its neighbors
         prop = (
             sym.join(labels.withColumnsRenamed({"clip_id": "src"}), "src")
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_label"))
             .withColumnsRenamed({"dst": "clip_id"})
         )
+        stepped = labels.join(prop, "clip_id", "left").select(
+            "clip_id",
+            F.least("label", F.coalesce("nbr_label", F.col("label"))).alias("label"),
+        )
+        # 2) pointer jump: label <- label(label)  (path halving)
+        lmap = stepped.select(
+            F.col("clip_id").alias("label"), F.col("label").alias("label2")
+        )
         new_labels = (
-            labels.join(prop, "clip_id", "left")
+            stepped.join(lmap, "label", "left")
             .select(
                 "clip_id",
-                F.least(
-                    "label", F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+                F.least("label", F.coalesce("label2", F.col("label"))).alias("label"),
             )
             .localCheckpoint(eager=True)
         )

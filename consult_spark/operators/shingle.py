@@ -41,11 +41,13 @@ _LATTICE_TAGS = (np.uint64(0x9E2F), np.uint64(0xB7E1))
 def pcm_shingle_set(data: bytes, codec: str, cfg: Config) -> np.ndarray:
     """Distinct uint64 shingle hashes for the audio channel of one clip."""
     x, sr = audio.decode_clip(data, codec)
-    log_e, ratio_db = audio.frame_features(x, sr, cfg.frame_ms, cfg.hop_ms)
+    log_e, ratio_db, centroid = audio.frame_features(x, sr, cfg.frame_ms, cfg.hop_ms)
     offsets = (0.0, 0.5) if cfg.dual_lattice else (0.0,)
     parts = []
     for li, off in enumerate(offsets):
-        sym = audio.symbols_from_features(log_e, ratio_db, cfg.energy_bins, cfg.energy_bin_db, off)
+        sym = audio.symbols_from_features(
+            log_e, ratio_db, centroid, cfg.energy_bins, cfg.energy_bin_db, off
+        )
         packed = H.pack_symbols_u64(sym.astype(np.uint64), cfg.k_pcm, cfg.symbol_bits)
         if packed.shape[0]:
             parts.append(H.hash_combine(packed, _LATTICE_TAGS[li]))

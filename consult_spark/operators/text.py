@@ -1,0 +1,172 @@
+"""Text-analysis operators over a documents table: token stats, quality
+scoring, n-gram language ID, SimHash fingerprinting, rolling-hash document
+fingerprints — the text half of a training-data pipeline, each with an exact
+DuckDB-oracle twin (see __spark_entry__.oracle_sql).
+
+Portability rules (same as textdedup.py): fractions are *_micro BIGINTs via
+floor(); tokenization is regexp-split on whitespace with empty tokens
+dropped; hashes are md5 hex (identical across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SIMHASH_BITS = 16
+
+# tiny embedded stopword lists for the n-gram language-ID heuristic; the
+# point is deterministic argmax mechanics, not linguistic accuracy
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "for", "on"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "dans", "pour"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "den", "ein", "auf"),
+}
+
+STOPWORDS = LANG_MARKERS["en"]
+
+
+def tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, tok): lowercase whitespace tokens, empties dropped."""
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: totals, distincts, char volume per doc."""
+    t = tokens(docs)
+    return t.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+        F.sum(F.length("tok")).alias("n_token_chars"),
+        F.min("tok").alias("first_token"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Quality scoring: length, punctuation ratio, stopword ratio,
+    mean token length — all *_micro BIGINT."""
+    t = tokens(docs)
+    stop_lit = F.array(*[F.lit(s) for s in STOPWORDS])
+    tok_agg = t.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(F.array_contains(stop_lit, F.col("tok")), 1).otherwise(0)).alias("n_stop"),
+        F.sum(F.length("tok")).alias("tok_chars"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_total"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
+        ).cast("bigint").alias("n_punct"),
+    )
+    return (
+        base.join(tok_agg, "doc_id", "left")
+        .withColumn("n_tokens", F.coalesce("n_tokens", F.lit(0)))
+        .withColumn("n_stop", F.coalesce("n_stop", F.lit(0)))
+        .withColumn("tok_chars", F.coalesce("tok_chars", F.lit(0)))
+        .select(
+            "doc_id",
+            "n_chars_total",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.floor(1_000_000.0 * F.col("n_punct") / F.greatest(F.col("n_chars_total"), F.lit(1)))
+            .cast("bigint").alias("punct_ratio_micro"),
+            F.floor(1_000_000.0 * F.col("n_stop") / F.greatest(F.col("n_tokens"), F.lit(1)))
+            .cast("bigint").alias("stop_ratio_micro"),
+            F.floor(1_000_000.0 * F.col("tok_chars") / F.greatest(F.col("n_tokens"), F.lit(1)))
+            .cast("bigint").alias("mean_token_len_micro"),
+        )
+    )
+
+
+def lang_id(spark, docs: DataFrame) -> DataFrame:
+    """N-gram-heuristic language ID: count marker-word hits per language,
+    argmax with (count desc, lang asc) tie-break."""
+    rows = [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws]
+    markers = spark.createDataFrame(rows, "lang_cand string, tok string")
+    t = tokens(docs)
+    scores = (
+        t.join(markers, "tok")
+        .groupBy("doc_id", "lang_cand")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("hits").desc(), F.col("lang_cand").asc())
+    best = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang_cand").alias("lang_pred"), F.col("hits").cast("bigint").alias("hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("lang_pred", F.lit("unknown")).alias("lang_pred"),
+            F.coalesce("hits", F.lit(0)).cast("bigint").alias("hits"),
+        )
+    )
+
+
+def simhash16(docs: DataFrame) -> DataFrame:
+    """16-bit SimHash over distinct tokens, portable construction: bit j is
+    the majority vote of md5(token) hex-nibble j's high bit (nibble in 8..f).
+    The document-fingerprint analog of the engine's 64-bit numpy SimHash."""
+    t = tokens(docs).distinct()
+    exploded = t.select(
+        "doc_id",
+        "tok",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+    ).withColumn(
+        "vote",
+        F.when(
+            F.substring(F.md5(F.col("tok").cast("binary")), F.col("j") + 1, 1).isin(
+                "8", "9", "a", "b", "c", "d", "e", "f"
+            ),
+            1,
+        ).otherwise(-1),
+    )
+    per_bit = exploded.groupBy("doc_id", "j").agg(F.sum("vote").alias("v"))
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.shiftleft(F.lit(1), F.col("j"))).otherwise(0)
+        ).cast("bigint").alias("simhash")
+    )
+
+
+def simhash_hamming_pairs(docs: DataFrame, candidates: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """hd() analog on the 16-bit fingerprints of candidate pairs."""
+    s = simhash16(docs)
+    sa = s.withColumnsRenamed({"doc_id": "doc_a", "simhash": "sim_a"})
+    sb = s.withColumnsRenamed({"doc_id": "doc_b", "simhash": "sim_b"})
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "sim_a", "sim_b", "hamming")
+    )
+
+
+def doc_fingerprints(docs: DataFrame, k: int = 8) -> DataFrame:
+    """Rolling-hash document fingerprint: lexicographic-min md5 over width-k
+    character windows (winnowing-style min-sampling) + window count."""
+    base = (
+        docs.filter(F.length("text") >= k)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text") - (k - 1))).alias("i"),
+            "text",
+        )
+        .select("doc_id", F.md5(F.expr(f"substring(text, i, {k})").cast("binary")).alias("h"))
+    )
+    return base.groupBy("doc_id").agg(
+        F.min("h").alias("fingerprint"),
+        F.countDistinct("h").alias("n_distinct_windows"),
+    )

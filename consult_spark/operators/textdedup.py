@@ -1,0 +1,204 @@
+"""Text near-duplicate pipeline over a generic documents table
+(doc_id, text) — the SQL-expressible twin of the main audio pipeline, built
+ONLY from engine-portable expressions (md5, substring, min, window, join) so
+every stage has an exact DuckDB oracle for the driver's correctness gate.
+
+Stage map to the reference (same ids as SURVEY §2):
+  doc_shingles          S5  sliding-window shingle enumeration
+  minimizer_thin        B4  per-window lexicographic minimizer (minimization.cpp:158-171)
+  exact_dup_groups      B5  dedup of identical payloads
+  minhash_bands         B7/B8  L x K signatures -> bucket keys
+  capped_buckets        B9  capacity-capped grouped insert (main_map.cpp:592-623)
+  bucket_histogram      B16 occupancy histogram (main_map.cpp:1170-1197)
+  candidate_pairs       S6  bucket probe as self-join
+  pair_jaccard          S9  exact verification re-score
+  confirmed_pairs       S11 c-threshold classification
+  unique_docs           S13 anti-join output (ucseq_ analog)
+
+Determinism-over-floats rule: every fractional quantity is emitted as
+``floor(1e6 * x)`` (a *_micro BIGINT) so Spark and DuckDB hash identically —
+float formatting never touches the comparison.
+
+MinHash here uses md5-lexicographic minima (portable across engines); the
+main engine uses the faster xxhash64/splitmix64 kernels — the algebra
+(min over per-seed hashes, banding, cap, threshold) is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SHINGLE_K = 5
+N_SEEDS = 8
+ROWS_PER_BAND = 2
+N_BANDS = N_SEEDS // ROWS_PER_BAND
+BUCKET_CAP = 8
+JACCARD_MICRO_THRESHOLD = 500_000  # 0.5
+MINIMIZER_W = 4
+
+
+def load_documents(spark, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def doc_shingles(docs: DataFrame, k: int = SHINGLE_K, distinct: bool = True) -> DataFrame:
+    """(doc_id, sh [, i]) — all width-k character windows of text."""
+    base = (
+        docs.filter(F.length("text") >= k)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text") - (k - 1))).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("bigint").alias("i"),
+            F.expr(f"substring(text, i, {k})").alias("sh"),
+        )
+    )
+    if distinct:
+        return base.select("doc_id", "sh").distinct()
+    return base
+
+
+def shingle_stats(docs: DataFrame) -> DataFrame:
+    """Per doc: total windows + distinct shingles (S5 window-count check)."""
+    all_sh = doc_shingles(docs, distinct=False)
+    return all_sh.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.countDistinct("sh").alias("n_distinct"),
+    )
+
+
+def minimizer_thin(docs: DataFrame) -> DataFrame:
+    """B4 analog: per window of MINIMIZER_W consecutive shingles keep the
+    lexicographic minimum; report distinct minimizers per doc."""
+    sh = doc_shingles(docs, distinct=False)
+    w = Window.partitionBy("doc_id").orderBy("i").rowsBetween(0, MINIMIZER_W - 1)
+    n = Window.partitionBy("doc_id")
+    full = (
+        sh.withColumn("minimizer", F.min("sh").over(w))
+        .withColumn("n_win", F.max("i").over(n))
+        .filter(F.col("i") <= F.col("n_win") - (MINIMIZER_W - 1))
+    )
+    return full.groupBy("doc_id").agg(
+        F.countDistinct("minimizer").alias("n_minimizers"),
+        F.min("minimizer").alias("first_minimizer"),
+    )
+
+
+def exact_dup_groups(docs: DataFrame) -> DataFrame:
+    """B5/exact dedup: md5(text) grouping; emit members of non-trivial groups
+    with their canonical (min doc_id) representative."""
+    hashed = docs.select("doc_id", F.md5(F.col("text").cast("binary")).alias("h"))
+    w = Window.partitionBy("h")
+    return (
+        hashed.withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("group_size", F.count("*").over(w))
+        .filter(F.col("group_size") > 1)
+        .select("doc_id", "canonical_id", F.col("group_size").cast("bigint").alias("group_size"))
+    )
+
+
+def minhash_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, r, minh): per-seed md5-lexicographic minima over the distinct
+    shingle set — the portable MinHash."""
+    sh = doc_shingles(docs)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(N_SEEDS - 1))).alias("r"),
+        "sh",
+    )
+    return seeded.groupBy("doc_id", "r").agg(
+        F.min(F.md5(F.concat_ws(":", F.col("r").cast("string"), F.col("sh")).cast("binary"))).alias("minh")
+    )
+
+
+def minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key): fold ROWS_PER_BAND seed-minima per band."""
+    mh = minhash_table(docs)
+    banded = mh.withColumn("band", F.floor(F.col("r") / ROWS_PER_BAND).cast("int"))
+    return banded.groupBy("doc_id", "band").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("r", "minh"))),
+                    lambda x: x["minh"],
+                ),
+                "|",
+            ).cast("binary")
+        ).alias("band_key")
+    )
+
+
+def capped_buckets(docs: DataFrame, cap: int = BUCKET_CAP) -> DataFrame:
+    """B9: per-bucket rank by doc_id, keep <= cap (deterministic)."""
+    bands = minhash_bands(docs)
+    w = Window.partitionBy("band", "band_key").orderBy("doc_id")
+    return (
+        bands.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= cap)
+        .select("doc_id", "band", "band_key", "rn")
+    )
+
+
+def bucket_histogram(docs: DataFrame) -> DataFrame:
+    """B16: bucket-size occupancy histogram per band."""
+    bands = minhash_bands(docs)
+    sizes = bands.groupBy("band", "band_key").agg(F.count("*").alias("bucket_size"))
+    return sizes.groupBy("band", "bucket_size").agg(F.count("*").alias("n_buckets"))
+
+
+def candidate_pairs(docs: DataFrame) -> DataFrame:
+    """S6: bucket self-join -> canonical pairs + co-bucketed band count."""
+    b = capped_buckets(docs)
+    left = b.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a"))
+    right = b.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b"))
+    hits = left.join(right, ["band", "band_key"]).filter(F.col("doc_a") < F.col("doc_b"))
+    return hits.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_bands"))
+
+
+def pair_jaccard(docs: DataFrame) -> DataFrame:
+    """S9: exact Jaccard re-score of candidates -> jaccard_micro BIGINT."""
+    cand = candidate_pairs(docs)
+    sh = doc_shingles(docs)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.withColumnsRenamed({"doc_id": "doc_a"})
+    b = sh.withColumnsRenamed({"doc_id": "doc_b"})
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = counts.withColumnsRenamed({"doc_id": "doc_a", "n": "n_a"})
+    nb = counts.withColumnsRenamed({"doc_id": "doc_b", "n": "n_b"})
+    return (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_bands",
+            F.floor(
+                1_000_000.0 * F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).cast("bigint").alias("jaccard_micro"),
+        )
+    )
+
+
+def confirmed_pairs(docs: DataFrame) -> DataFrame:
+    """S11: threshold classification."""
+    return pair_jaccard(docs).filter(F.col("jaccard_micro") >= JACCARD_MICRO_THRESHOLD)
+
+
+def unique_docs(docs: DataFrame) -> DataFrame:
+    """S13: anti-join — docs with no confirmed dup partner."""
+    conf = confirmed_pairs(docs)
+    members = conf.select(F.col("doc_a").alias("doc_id")).union(
+        conf.select(F.col("doc_b").alias("doc_id"))
+    )
+    return docs.select("doc_id").join(members.distinct(), "doc_id", "left_anti")

@@ -116,8 +116,12 @@ def decode(data: bytes) -> tuple[np.ndarray, int]:
     return x, sr
 
 
-def features(x: np.ndarray, sr: int, cfg: Config) -> tuple[np.ndarray, np.ndarray]:
-    from consult_spark.functions.audio import BAND_EDGES_HZ, RATIO_FLOOR_DB
+def features(x: np.ndarray, sr: int, cfg: Config) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    from consult_spark.functions.audio import (
+        BAND_EDGES_HZ,
+        CENTROID_BASE_HZ,
+        RATIO_FLOOR_DB,
+    )
 
     frame = max(1, sr * cfg.frame_ms // 1000)
     hop = max(1, sr * cfg.hop_ms // 1000)
@@ -126,6 +130,7 @@ def features(x: np.ndarray, sr: int, cfg: Config) -> tuple[np.ndarray, np.ndarra
     starts = list(range(0, x.shape[0] - frame + 1, hop))
     log_e = np.empty(len(starts))
     ratios = np.empty((len(starts), len(BAND_EDGES_HZ) - 1))
+    centroid = np.empty(len(starts))
     freqs = np.fft.rfftfreq(frame, 1.0 / sr)
     for fi, s in enumerate(starts):
         w = x[s : s + frame].astype(np.float64)
@@ -141,11 +146,20 @@ def features(x: np.ndarray, sr: int, cfg: Config) -> tuple[np.ndarray, np.ndarra
         tot = max(sum(eb), 1e-24)
         for i in range(nb):
             ratios[fi, i] = 10.0 * np.log10(max(eb[i] / tot, 1e-12))
-    return log_e, np.clip(ratios, RATIO_FLOOR_DB, -0.001)
+        p_hz = float(freqs[int(np.argmax(spec))])
+        centroid[fi] = np.log2(max(p_hz, CENTROID_BASE_HZ) / CENTROID_BASE_HZ)
+    return log_e, np.clip(ratios, RATIO_FLOOR_DB, -0.001), centroid
 
 
-def symbols(log_e: np.ndarray, ratios: np.ndarray, cfg: Config, offset: float) -> list[int]:
-    from consult_spark.functions.audio import RATIO_BIN_DB, RATIO_FLOOR_DB, RATIO_LEVELS
+def symbols(log_e: np.ndarray, ratios: np.ndarray, centroid: np.ndarray,
+            cfg: Config, offset: float) -> list[int]:
+    from consult_spark.functions.audio import (
+        CENTROID_BIN_LOG2,
+        CENTROID_LEVELS,
+        RATIO_BIN_DB,
+        RATIO_FLOOR_DB,
+        RATIO_LEVELS,
+    )
 
     if log_e.shape[0] == 0:
         return []
@@ -159,7 +173,9 @@ def symbols(log_e: np.ndarray, ratios: np.ndarray, cfg: Config, offset: float) -
             rb = int(np.floor((ratios[fi, i] - RATIO_FLOOR_DB - 0.1) / RATIO_BIN_DB + offset))
             rb = min(max(rb, 0), RATIO_LEVELS - 1)
             sym |= rb << (4 + 2 * i)
-        out.append(sym)
+        cb = int(np.floor(centroid[fi] / CENTROID_BIN_LOG2 + offset))
+        cb = min(max(cb, 0), CENTROID_LEVELS - 1)
+        out.append(sym | (cb << 12))
     return out
 
 
@@ -168,11 +184,11 @@ LATTICE_TAGS = (0x9E2F, 0xB7E1)
 
 def pcm_shingles(data: bytes, cfg: Config) -> set[int]:
     x, sr = decode(data)
-    log_e, ratios = features(x, sr, cfg)
+    log_e, ratios, centroid = features(x, sr, cfg)
     offs = (0.0, 0.5) if cfg.dual_lattice else (0.0,)
     out: set[int] = set()
     for li, off in enumerate(offs):
-        sym = symbols(log_e, ratios, cfg, off)
+        sym = symbols(log_e, ratios, centroid, cfg, off)
         for p in pack_windows(sym, cfg.k_pcm, cfg.symbol_bits):
             out.add(combine(p, LATTICE_TAGS[li]))
     return out

@@ -68,21 +68,24 @@ def test_dual_lattice_disjoint_boundaries(cfg):
 def test_frame_features_shapes(corpus_xs, cfg):
     row = corpus_xs["clips"].iloc[0]
     x, sr = audio.decode_wav_pcm16(row["bytes"])
-    log_e, ratios = audio.frame_features(x, sr, cfg.frame_ms, cfg.hop_ms)
+    log_e, ratios, centroid = audio.frame_features(x, sr, cfg.frame_ms, cfg.hop_ms)
     frame = sr * cfg.frame_ms // 1000
     hop = sr * cfg.hop_ms // 1000
     expected = (x.shape[0] - frame) // hop + 1
     assert log_e.shape[0] == expected
     assert ratios.shape == (expected, 4)
+    assert centroid.shape[0] == expected
     assert (ratios <= 0).all() and (ratios >= audio.RATIO_FLOOR_DB).all()
+    assert (centroid >= 0).all()
 
 
 def test_band_ratio_gain_invariance(corpus_xs, cfg):
     row = corpus_xs["clips"].iloc[1]
     x, sr = audio.decode_wav_pcm16(row["bytes"])
-    _, r1 = audio.frame_features(x, sr, cfg.frame_ms, cfg.hop_ms)
-    _, r2 = audio.frame_features(x * 0.5, sr, cfg.frame_ms, cfg.hop_ms)
+    _, r1, c1 = audio.frame_features(x, sr, cfg.frame_ms, cfg.hop_ms)
+    _, r2, c2 = audio.frame_features(x * 0.5, sr, cfg.frame_ms, cfg.hop_ms)
     assert np.allclose(r1, r2, atol=1e-9)
+    assert np.allclose(c1, c2, atol=1e-9)
 
 
 def test_planted_variant_snr_invariant(corpus_xs):

@@ -1,0 +1,58 @@
+"""Connected-components clustering on planted topologies + oracle parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from consult_spark.config import Config
+from consult_spark.operators.cluster import assign_clusters, connected_components, unique_clips
+
+
+@pytest.fixture(scope="module")
+def cc_cfg():
+    return Config(cc_max_iters=30)
+
+
+def _components(spark, edges, cc_cfg):
+    df = spark.createDataFrame(edges, "clip_a string, clip_b string")
+    return {
+        r["clip_id"]: r["cluster_id"] for r in connected_components(df, cc_cfg).collect()
+    }
+
+
+def test_cc_path_graph(spark, cc_cfg):
+    """A long path is the worst case for min-label propagation."""
+    edges = [(f"n{i:03d}", f"n{i+1:03d}") for i in range(40)]
+    got = _components(spark, edges, cc_cfg)
+    assert set(got.values()) == {"n000"}
+    assert len(got) == 41
+
+
+def test_cc_star_and_cliques(spark, cc_cfg):
+    edges = [("hub", f"leaf{i}") for i in range(10)]
+    edges += [(f"c{i}", f"c{j}") for i in range(4) for j in range(i + 1, 4)]
+    got = _components(spark, edges, cc_cfg)
+    assert got["hub"] == got["leaf3"] == "hub"
+    assert got["c3"] == "c0"
+
+
+def test_cc_two_components_stay_apart(spark, cc_cfg):
+    edges = [("a1", "a2"), ("a2", "a3"), ("b1", "b2")]
+    got = _components(spark, edges, cc_cfg)
+    assert got["a3"] == "a1" and got["b2"] == "b1"
+    assert got["a1"] != got["b1"]
+
+
+def test_assign_clusters_includes_singletons(spark, cc_cfg):
+    clips = spark.createDataFrame([("x",), ("y",), ("z",)], "clip_id string")
+    conf = spark.createDataFrame([("x", "y")], "clip_a string, clip_b string")
+    got = {r["clip_id"]: r["cluster_id"] for r in assign_clusters(clips, conf, cc_cfg).collect()}
+    assert got == {"x": "x", "y": "x", "z": "z"}
+
+
+def test_unique_clips_anti_join(spark):
+    clips = spark.createDataFrame([("x",), ("y",), ("z",)], "clip_id string")
+    conf = spark.createDataFrame([("x", "y")], "clip_a string, clip_b string")
+    got = {r["clip_id"] for r in unique_clips(clips, conf).collect()}
+    assert got == {"z"}
