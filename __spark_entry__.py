@@ -1,38 +1,524 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship text-channel near-duplicate pipeline on
+sf0.001 documents.  ``queries()`` exposes every SQL-expressible operator of
+SURVEY.md §2 (plus the training-data-pipeline extensions: dedup family,
+similarity search, text analysis) with exact DuckDB twins in
+``oracle_sql()``; UDF-only audio stages run as rows-only checks over the
+deterministic synthetic clip corpus (no external data).
+
+Portability conventions shared by both sides (see operators/textdedup.py):
+md5 hex hashing, floor(1e6 * x) -> *_micro BIGINT for every fraction,
+integer-quantized embeddings so dot/norm math is exact.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB dialect) mirroring operators/textdedup.py
+# ---------------------------------------------------------------------------
+
+# DuckDB 1.0 only supports constant generate_series parameters (no lateral
+# correlation, no subquery), so window enumeration goes through a constant
+# numbers table + inequality join everywhere.  4096 comfortably exceeds the
+# longest document at oracle scale.
+_NUMS = """
+nums AS (
+  SELECT i FROM generate_series(1, 4096) t(i)
+)
+"""
+
+_SH = _NUMS + """,
+sh AS (
+  SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 5) AS sh
+  FROM documents JOIN nums ON i <= length(text) - 4
+  WHERE length(text) >= 5
+)
+"""
+
+_BANDS = _SH + """,
+mh AS (
+  SELECT doc_id, r, min(md5(CAST(r AS VARCHAR) || ':' || sh)) AS minh
+  FROM sh, generate_series(0, 7) s(r)
+  GROUP BY doc_id, r
+),
+bands AS (
+  SELECT doc_id, CAST(r // 2 AS INT) AS band,
+         md5(string_agg(minh, '|' ORDER BY r)) AS band_key
+  FROM mh GROUP BY doc_id, CAST(r // 2 AS INT)
+)
+"""
+
+_BUCKETS = _BANDS + """,
+buckets AS (
+  SELECT doc_id, band, band_key,
+         row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn
+  FROM bands
+)
+"""
+
+_CAND = _BUCKETS + """,
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_bands
+  FROM (SELECT * FROM buckets WHERE rn <= 8) a
+  JOIN (SELECT * FROM buckets WHERE rn <= 8) b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+"""
+
+_JACC = _CAND + """,
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc_a
+  JOIN sh b ON b.doc_id = c.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+),
+jacc AS (
+  SELECT c.doc_a, c.doc_b, c.n_bands,
+         CAST(floor(1000000.0 * COALESCE(i.n_inter, 0)
+              / (na.n + nb.n - COALESCE(i.n_inter, 0))) AS BIGINT) AS jaccard_micro
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN cnt na ON na.doc_id = c.doc_a
+  JOIN cnt nb ON nb.doc_id = c.doc_b
+)
+"""
+
+_TOK = """
+tok AS (
+  SELECT doc_id, t.tok
+  FROM documents, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t(tok)
+  WHERE t.tok <> ''
+)
+"""
+
+_QEMB = """
+q AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(CAST(x AS DOUBLE) * 1000 + 0.5)) AS qv
+  FROM embeddings
+),
+qn AS (
+  SELECT vec_id, qv, list_sum(list_transform(qv, x -> x * x)) AS norm_q FROM q
+)
+"""
+
+_LANG_MARKERS_SQL = """
+markers(lang_cand, tok) AS (
+  VALUES
+    ('en','the'),('en','and'),('en','of'),('en','to'),('en','a'),('en','in'),('en','is'),('en','it'),('en','for'),('en','on'),
+    ('es','el'),('es','la'),('es','de'),('es','que'),('es','y'),('es','en'),('es','un'),('es','los'),('es','por'),('es','con'),
+    ('fr','le'),('fr','la'),('fr','de'),('fr','et'),('fr','les'),('fr','des'),('fr','un'),('fr','une'),('fr','dans'),('fr','pour'),
+    ('de','der'),('de','die'),('de','und'),('de','das'),('de','von'),('de','zu'),('de','mit'),('de','den'),('de','ein'),('de','auf')
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _clips_fixture(spark: SparkSession, n_rows: int = 200):
+    """Deterministic synthetic audio corpus (cached parquet under .fixtures)."""
+    from consult_spark.datagen import generate_corpus_pandas
+
+    root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".fixtures")
+    path = os.path.join(root, f"clips_{n_rows}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        os.makedirs(root, exist_ok=True)
+        pdf = generate_corpus_pandas(n_rows, 42)["clips"]
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: text-channel near-duplicate detection + clustering over the
+    sf0.001 documents table using the engine's own operators (MinHash ->
+    salted capped LSH buckets -> bucket-local pair generation -> exact
+    Jaccard verify -> connected components)."""
+    from consult_spark.config import Config
+    from consult_spark.operators import bands as bands_op
+    from consult_spark.operators import cluster as cluster_op
+    from consult_spark.operators import pairs as pairs_op
+    from consult_spark.operators import shingle as shingle_op
+    from consult_spark.operators import verify as verify_op
 
+    docs = _docs(spark, "/root/testdata/sf0.001")
+    clips_like = docs.select(
+        F.col("doc_id").cast("string").alias("clip_id"),
+        F.col("text").alias("transcript"),
+    )
+    cfg = Config(channels=("txt",))
+    features = shingle_op.featurize(clips_like, cfg)
+    buckets = bands_op.salted_capped_buckets(bands_op.explode_bands(features), cfg)
+    candidates = pairs_op.candidate_pairs(buckets, cfg)
+    confirmed = verify_op.confirm_pairs(candidates, features, clips_like, cfg)
+    return cluster_op.assign_clusters(clips_like, confirmed, cfg)
+
+
+# ---------------------------------------------------------------------------
+# queries + oracles
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from consult_spark.operators import ann, text, textdedup
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_shingle_stats(spark, sf):
+        return textdedup.shingle_stats(_docs(spark, sf))
+
+    def q_minimizer_thin(spark, sf):
+        return textdedup.minimizer_thin(_docs(spark, sf))
+
+    def q_exact_dup_groups(spark, sf):
+        return textdedup.exact_dup_groups(_docs(spark, sf))
+
+    def q_minhash_bands(spark, sf):
+        return textdedup.minhash_bands(_docs(spark, sf))
+
+    def q_lsh_bucket_cap(spark, sf):
+        return textdedup.capped_buckets(_docs(spark, sf))
+
+    def q_bucket_histogram(spark, sf):
+        return textdedup.bucket_histogram(_docs(spark, sf))
+
+    def q_candidate_pairs(spark, sf):
+        return textdedup.candidate_pairs(_docs(spark, sf))
+
+    def q_pair_jaccard(spark, sf):
+        return textdedup.pair_jaccard(_docs(spark, sf))
+
+    def q_confirmed_pairs(spark, sf):
+        return textdedup.confirmed_pairs(_docs(spark, sf))
+
+    def q_unique_docs(spark, sf):
+        return textdedup.unique_docs(_docs(spark, sf))
+
+    def q_token_stats(spark, sf):
+        return text.token_stats(_docs(spark, sf))
+
+    def q_quality_scores(spark, sf):
+        return text.quality_scores(_docs(spark, sf))
+
+    def q_lang_id(spark, sf):
+        return text.lang_id(spark, _docs(spark, sf))
+
+    def q_simhash16(spark, sf):
+        return text.simhash16(_docs(spark, sf))
+
+    def q_simhash_hamming_pairs(spark, sf):
+        docs = _docs(spark, sf)
+        return text.simhash_hamming_pairs(docs, textdedup.candidate_pairs(docs))
+
+    def q_doc_fingerprints(spark, sf):
+        return text.doc_fingerprints(_docs(spark, sf))
+
+    def q_cosine_topk(spark, sf):
+        return ann.cosine_topk(_emb(spark, sf))
+
+    def q_embedding_near_dup(spark, sf):
+        return ann.near_dup_pairs(_emb(spark, sf))
+
+    def q_events_running(spark, sf):
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return ev.select(
+            "event_id",
+            "user_id",
+            F.floor(F.col("value") * 100 + 0.5).cast("bigint").alias("value_cents"),
+        ).withColumn("running_cents", F.sum("value_cents").over(
+            Window.partitionBy("user_id").orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+        ))
+
+    def q_lineitem_pricing(spark, sf):
+        li = spark.read.parquet(os.path.join(sf, "lineitem.parquet"))
+        return (
+            li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("bigint")).alias("sum_qty_cents"),
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+                    ).cast("bigint")
+                ).alias("revenue_cents"),
+                F.count("*").alias("n_rows"),
+            )
+        )
+
+    # ---- rows-only audio engine checks (UDF stages; no SQL oracle) ----
+    def q_audio_confirmed_pairs(spark, sf):
+        from consult_spark.config import Config
+        from consult_spark.operators import bands as bands_op
+        from consult_spark.operators import pairs as pairs_op
+        from consult_spark.operators import shingle as shingle_op
+        from consult_spark.operators import verify as verify_op
+
+        cfg = Config()
+        clips = _clips_fixture(spark)
+        features = shingle_op.featurize(clips, cfg)
+        buckets = bands_op.salted_capped_buckets(bands_op.explode_bands(features), cfg)
+        cands = pairs_op.candidate_pairs(buckets, cfg)
+        return verify_op.confirm_pairs(cands, features, clips, cfg)
+
+    def q_audio_clusters(spark, sf):
+        from consult_spark.config import Config
+        from consult_spark.operators import bands as bands_op
+        from consult_spark.operators import cluster as cluster_op
+        from consult_spark.operators import pairs as pairs_op
+        from consult_spark.operators import shingle as shingle_op
+        from consult_spark.operators import verify as verify_op
+
+        cfg = Config()
+        clips = _clips_fixture(spark)
+        features = shingle_op.featurize(clips, cfg)
+        buckets = bands_op.salted_capped_buckets(bands_op.explode_bands(features), cfg)
+        cands = pairs_op.candidate_pairs(buckets, cfg)
+        confirmed = verify_op.confirm_pairs(cands, features, clips, cfg)
+        return cluster_op.assign_clusters(clips, confirmed, cfg)
+
+    def q_ann_lsh_topk(spark, sf):
+        from consult_spark.operators import ann as ann_op
+
+        return ann_op.lsh_bucketed_topk(_emb(spark, sf), n_planes=6)
+
+    return {
+        "shingle_stats": q_shingle_stats,
+        "minimizer_thin": q_minimizer_thin,
+        "exact_dup_groups": q_exact_dup_groups,
+        "minhash_bands": q_minhash_bands,
+        "lsh_bucket_cap": q_lsh_bucket_cap,
+        "bucket_histogram": q_bucket_histogram,
+        "candidate_pairs": q_candidate_pairs,
+        "pair_jaccard": q_pair_jaccard,
+        "confirmed_pairs": q_confirmed_pairs,
+        "unique_docs": q_unique_docs,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "simhash16": q_simhash16,
+        "simhash_hamming_pairs": q_simhash_hamming_pairs,
+        "doc_fingerprints": q_doc_fingerprints,
+        "cosine_topk": q_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
+        "events_running": q_events_running,
+        "lineitem_pricing": q_lineitem_pricing,
+        "audio_confirmed_pairs": q_audio_confirmed_pairs,
+        "audio_clusters": q_audio_clusters,
+        "ann_lsh_topk": q_ann_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "shingle_stats": f"""
+            WITH {_NUMS}
+            SELECT doc_id, count(*) AS n_windows,
+                   count(DISTINCT substring(text, CAST(i AS INT), 5)) AS n_distinct
+            FROM documents JOIN nums ON i <= length(text) - 4
+            WHERE length(text) >= 5
+            GROUP BY doc_id
+        """,
+        "minimizer_thin": f"""
+            WITH {_NUMS},
+            allsh AS (
+              SELECT doc_id, i, substring(text, CAST(i AS INT), 5) AS sh
+              FROM documents JOIN nums ON i <= length(text) - 4
+              WHERE length(text) >= 5
+            ),
+            wins AS (
+              SELECT doc_id, i,
+                     min(sh) OVER (PARTITION BY doc_id ORDER BY i
+                                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS minimizer,
+                     max(i) OVER (PARTITION BY doc_id) AS n_win
+              FROM allsh
+            )
+            SELECT doc_id, count(DISTINCT minimizer) AS n_minimizers,
+                   min(minimizer) AS first_minimizer
+            FROM wins WHERE i <= n_win - 3
+            GROUP BY doc_id
+        """,
+        "exact_dup_groups": """
+            WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+            g AS (SELECT doc_id, h,
+                         min(doc_id) OVER (PARTITION BY h) AS canonical_id,
+                         count(*) OVER (PARTITION BY h) AS group_size
+                  FROM h)
+            SELECT doc_id, canonical_id, CAST(group_size AS BIGINT) AS group_size
+            FROM g WHERE group_size > 1
+        """,
+        "minhash_bands": f"WITH {_BANDS} SELECT doc_id, band, band_key FROM bands",
+        "lsh_bucket_cap": f"WITH {_BUCKETS} SELECT doc_id, band, band_key, CAST(rn AS BIGINT) AS rn FROM buckets WHERE rn <= 8",
+        "bucket_histogram": f"""
+            WITH {_BANDS},
+            sizes AS (SELECT band, band_key, count(*) AS bucket_size FROM bands GROUP BY 1, 2)
+            SELECT band, bucket_size, count(*) AS n_buckets FROM sizes GROUP BY 1, 2
+        """,
+        "candidate_pairs": f"WITH {_CAND} SELECT doc_a, doc_b, n_bands FROM cand",
+        "pair_jaccard": f"WITH {_JACC} SELECT doc_a, doc_b, n_bands, jaccard_micro FROM jacc",
+        "confirmed_pairs": f"WITH {_JACC} SELECT doc_a, doc_b, n_bands, jaccard_micro FROM jacc WHERE jaccard_micro >= 500000",
+        "unique_docs": f"""
+            WITH {_JACC},
+            conf AS (SELECT doc_a, doc_b FROM jacc WHERE jaccard_micro >= 500000),
+            members AS (SELECT doc_a AS doc_id FROM conf UNION SELECT doc_b FROM conf)
+            SELECT d.doc_id FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM members)
+        """,
+        "token_stats": f"""
+            WITH {_TOK}
+            SELECT doc_id, count(*) AS n_tokens,
+                   count(DISTINCT tok) AS n_distinct_tokens,
+                   CAST(sum(length(tok)) AS BIGINT) AS n_token_chars,
+                   min(tok) AS first_token
+            FROM tok GROUP BY doc_id
+        """,
+        "quality_scores": f"""
+            WITH {_TOK},
+            ta AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     sum(CASE WHEN tok IN ('the','and','of','to','a','in','is','it','for','on') THEN 1 ELSE 0 END) AS n_stop,
+                     sum(length(tok)) AS tok_chars
+              FROM tok GROUP BY doc_id
+            ),
+            base AS (
+              SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_total,
+                     CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+              FROM documents
+            )
+            SELECT b.doc_id, b.n_chars_total,
+                   CAST(COALESCE(ta.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(floor(1000000.0 * b.n_punct / greatest(b.n_chars_total, 1)) AS BIGINT) AS punct_ratio_micro,
+                   CAST(floor(1000000.0 * COALESCE(ta.n_stop, 0) / greatest(COALESCE(ta.n_tokens, 0), 1)) AS BIGINT) AS stop_ratio_micro,
+                   CAST(floor(1000000.0 * COALESCE(ta.tok_chars, 0) / greatest(COALESCE(ta.n_tokens, 0), 1)) AS BIGINT) AS mean_token_len_micro
+            FROM base b LEFT JOIN ta ON ta.doc_id = b.doc_id
+        """,
+        "lang_id": f"""
+            WITH {_TOK}, {_LANG_MARKERS_SQL},
+            scores AS (
+              SELECT t.doc_id, m.lang_cand, count(*) AS hits
+              FROM tok t JOIN markers m ON m.tok = t.tok
+              GROUP BY 1, 2
+            ),
+            best AS (
+              SELECT doc_id, lang_cand, hits,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_cand ASC) AS rn
+              FROM scores
+            )
+            SELECT d.doc_id,
+                   COALESCE(b.lang_cand, 'unknown') AS lang_pred,
+                   CAST(COALESCE(b.hits, 0) AS BIGINT) AS hits
+            FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = d.doc_id
+        """,
+        "simhash16": f"""
+            WITH {_TOK},
+            dt AS (SELECT DISTINCT doc_id, tok FROM tok),
+            votes AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN substring(md5(tok), CAST(j + 1 AS INT), 1) IN
+                              ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v
+              FROM dt, generate_series(0, 15) s(j)
+              GROUP BY doc_id, j
+            )
+            SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id
+        """,
+        "simhash_hamming_pairs": f"""
+            WITH {_CAND}, {_TOK.replace('tok AS', 'tok2 AS').replace('AS t(tok)', 'AS t(tok)')},
+            dt AS (SELECT DISTINCT doc_id, tok FROM tok2),
+            votes AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN substring(md5(tok), CAST(j + 1 AS INT), 1) IN
+                              ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v
+              FROM dt, generate_series(0, 15) s(j)
+              GROUP BY doc_id, j
+            ),
+            sh16 AS (
+              SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id
+            )
+            SELECT c.doc_a, c.doc_b, sa.simhash AS sim_a, sb.simhash AS sim_b,
+                   CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+            FROM cand c
+            JOIN sh16 sa ON sa.doc_id = c.doc_a
+            JOIN sh16 sb ON sb.doc_id = c.doc_b
+            WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
+        """,
+        "doc_fingerprints": f"""
+            WITH {_NUMS},
+            w8 AS (
+              SELECT doc_id, md5(substring(text, CAST(i AS INT), 8)) AS h
+              FROM documents JOIN nums ON i <= length(text) - 7
+              WHERE length(text) >= 8
+            )
+            SELECT doc_id, min(h) AS fingerprint, count(DISTINCT h) AS n_distinct_windows
+            FROM w8 GROUP BY doc_id
+        """,
+        "cosine_topk": f"""
+            WITH {_QEMB},
+            scores AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     CAST(floor(1000000.0 * list_sum(list_transform(
+                            list_zip(a.qv, b.qv), p -> p[1] * p[2]))
+                          / sqrt(CAST(a.norm_q * b.norm_q AS DOUBLE))) AS BIGINT) AS sim_micro
+              FROM qn a, qn b WHERE a.vec_id <> b.vec_id
+            ),
+            ranked AS (
+              SELECT vec_a, vec_b, sim_micro,
+                     row_number() OVER (PARTITION BY vec_a ORDER BY sim_micro DESC, vec_b ASC) AS rank
+              FROM scores
+            )
+            SELECT vec_a, vec_b, sim_micro, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "embedding_near_dup": f"""
+            WITH {_QEMB}
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(floor(1000000.0 * list_sum(list_transform(
+                          list_zip(a.qv, b.qv), p -> p[1] * p[2]))
+                        / sqrt(CAST(a.norm_q * b.norm_q AS DOUBLE))) AS BIGINT) AS sim_micro
+            FROM qn a, qn b
+            WHERE a.vec_id < b.vec_id
+              AND floor(1000000.0 * list_sum(list_transform(
+                          list_zip(a.qv, b.qv), p -> p[1] * p[2]))
+                        / sqrt(CAST(a.norm_q * b.norm_q AS DOUBLE))) >= 400000
+        """,
+        "events_running": """
+            SELECT event_id, user_id,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+            FROM events
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+    }

@@ -1,0 +1,209 @@
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], print ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline queries:
+  audio_pipeline   — the flagship: synthetic clip corpus (deterministic,
+                     size scaled to sf) through decode -> shingle -> MinHash
+                     -> salted capped buckets -> pairs -> verify -> CC.
+  text_confirmed   — text-channel MinHash-LSH dedup over documents.
+  cosine_topk      — brute-force embedding similarity top-k.
+  ann_lsh_topk     — LSH-bucketed approximate top-k.
+
+--scaling mode: run the audio pipeline at local[8] and local[32] (same
+input, same per-core memory) in fresh subprocesses and write
+BENCH/BASELINE.md with clips/sec at both and the scaling efficiency
+(throughput ratio / core ratio); the sandbox substitute for the N vs 4N
+executor criterion (see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def bench_clips_path(spark, sf: float) -> tuple[str, int]:
+    """Deterministic synthetic clip corpus sized to sf, cached as parquet."""
+    n = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", max(2000, int(20000 * sf / 0.1))))
+    path = os.path.join(REPO, ".fixtures", f"clips_bench_{n}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from consult_spark.datagen import generate_corpus_spark
+
+        clips, _ = generate_corpus_spark(spark, n, seed=42)
+        clips.write.mode("overwrite").parquet(path)
+    return path, n
+
+
+def run_audio_pipeline(spark, clips_path: str) -> dict:
+    from consult_spark.config import Config
+    from consult_spark.operators import bands as bands_op
+    from consult_spark.operators import cluster as cluster_op
+    from consult_spark.operators import pairs as pairs_op
+    from consult_spark.operators import shingle as shingle_op
+    from consult_spark.operators import verify as verify_op
+
+    cfg = Config()
+    clips = spark.read.parquet(clips_path)
+    n_clips = clips.count()
+    t0 = time.time()
+    features = shingle_op.featurize(clips, cfg)
+    features.persist()
+    n_features = features.count()
+    t_feat = time.time()
+    buckets = bands_op.salted_capped_buckets(bands_op.explode_bands(features), cfg)
+    candidates = pairs_op.candidate_pairs(buckets, cfg).persist()
+    n_cand = candidates.count()
+    t_cand = time.time()
+    confirmed = verify_op.confirm_pairs(candidates, features, clips, cfg).persist()
+    n_conf = confirmed.count()
+    t_verify = time.time()
+    clusters = cluster_op.assign_clusters(clips, confirmed, cfg)
+    n_clusters = clusters.count()
+    t_end = time.time()
+    features.unpersist()
+    candidates.unpersist()
+    confirmed.unpersist()
+    return {
+        "wall_sec": t_end - t0,
+        "n_clips": n_clips,
+        "clips_per_sec": n_clips / (t_end - t0),
+        "stage_sec": {
+            "featurize": t_feat - t0,
+            "bucket_pairs": t_cand - t_feat,
+            "verify": t_verify - t_cand,
+            "cluster": t_end - t_verify,
+        },
+        "n_candidates": n_cand,
+        "n_confirmed": n_conf,
+        "n_rows": n_clusters,
+    }
+
+
+def run_default(sf_dir: str) -> dict:
+    from consult_spark.session import get_spark
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    spark = get_spark("consult_spark_bench", master=f"local[{cpus}]")
+    sf = _sf_of(sf_dir)
+    queries: dict[str, float] = {}
+    extra: dict = {}
+
+    clips_path, n_clips = bench_clips_path(spark, sf)
+    res = run_audio_pipeline(spark, clips_path)
+    queries["audio_pipeline"] = round(res["wall_sec"], 3)
+    extra["audio"] = {k: (round(v, 3) if isinstance(v, float) else v) for k, v in res.items() if k != "stage_sec"}
+    extra["audio_stages"] = {k: round(v, 3) for k, v in res["stage_sec"].items()}
+
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    for name in ("confirmed_pairs", "cosine_topk", "ann_lsh_topk", "simhash16"):
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        queries[name] = round(time.time() - t0, 3)
+        extra.setdefault("rows", {})[name] = n
+
+    total = sum(queries.values())
+    out = {
+        "metric": "bench_total_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "clips_per_sec": round(res["clips_per_sec"], 2),
+        "detail": extra,
+    }
+    spark.stop()
+    return out
+
+
+def run_scaling() -> None:
+    """local[8] vs local[32] on the identical audio-pipeline input."""
+    results = {}
+    for cores in (8, 32):
+        cmd = [sys.executable, __file__, "--single-audio", "--cores", str(cores)]
+        env = dict(os.environ)
+        out = subprocess.run(cmd, capture_output=True, text=True, env=env, check=False)
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+        print(f"cores={cores}: {results[cores]}")
+    t8 = results[8]["clips_per_sec"]
+    t32 = results[32]["clips_per_sec"]
+    eff = (t32 / t8) / 4.0
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(
+            "# Scaling evidence (sandbox substitute for N vs 4N executors)\n\n"
+            "Same job (full audio dedup pipeline), same deterministic input, same\n"
+            "per-core memory, run at two parallelism levels in fresh JVMs:\n\n"
+            "| cores | wall sec | clips/sec | stages (featurize / bucket+pairs / verify / cc) |\n"
+            "|---|---|---|---|\n"
+        )
+        for cores in (8, 32):
+            r = results[cores]
+            st = r["stage_sec"]
+            f.write(
+                f"| local[{cores}] | {r['wall_sec']:.1f} | {r['clips_per_sec']:.1f} | "
+                f"{st['featurize']:.1f} / {st['bucket_pairs']:.1f} / {st['verify']:.1f} / {st['cluster']:.1f} |\n"
+            )
+        f.write(
+            f"\n**Scaling efficiency (throughput ratio / core ratio): "
+            f"{eff:.3f}** (target >= 0.8)\n\n"
+            f"n_clips = {results[8]['n_clips']}, candidates = {results[8]['n_candidates']}, "
+            f"confirmed = {results[8]['n_confirmed']}\n"
+        )
+    print(json.dumps({"scaling_efficiency": round(eff, 4), "clips_per_sec": {"8": t8, "32": t32}}))
+
+
+def run_single_audio(cores: int) -> None:
+    from consult_spark.session import get_spark
+
+    spark = get_spark(f"bench_audio_{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
+    sf = _sf_of(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    clips_path, _ = bench_clips_path(spark, sf)
+    res = run_audio_pipeline(spark, clips_path)
+    res = {k: (round(v, 3) if isinstance(v, float) else v) for k, v in res.items()}
+    res["stage_sec"] = {k: round(v, 3) for k, v in res["stage_sec"].items()}
+    print(json.dumps(res))
+    spark.stop()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--single-audio", action="store_true")
+    ap.add_argument("--cores", type=int, default=8)
+    args = ap.parse_args()
+    if args.single_audio:
+        os.environ["SPARK_GRAFT_CPUS"] = str(args.cores)
+        run_single_audio(args.cores)
+        return
+    if args.scaling:
+        run_scaling()
+        return
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    print(json.dumps(run_default(sf_dir)))
+
+
+if __name__ == "__main__":
+    main()

@@ -79,7 +79,7 @@ def cosine_topk(emb: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
-def near_dup_pairs(emb: DataFrame, threshold_micro: int = 950_000) -> DataFrame:
+def near_dup_pairs(emb: DataFrame, threshold_micro: int = 400_000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (canonical vec_a < vec_b)."""
     q = quantized(emb)
     return (
@@ -89,38 +89,38 @@ def near_dup_pairs(emb: DataFrame, threshold_micro: int = 950_000) -> DataFrame:
     )
 
 
-def hyperplane_buckets(emb: DataFrame, n_planes: int = 12, seed: int = 0xC05) -> DataFrame:
+def _hyperplane_signs(n_planes: int, dim: int, seed: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane components from md5 bits (no RNG state);
+    computed once driver-side and embedded as literals in the plan."""
+    import hashlib
+
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{i}".encode()).digest()[0]
+            row.append(1 if h >= 128 else -1)
+        planes.append(row)
+    return planes
+
+
+def hyperplane_buckets(emb: DataFrame, n_planes: int = 12, seed: int = 0xC05, dim: int = 64) -> DataFrame:
     """Random-hyperplane LSH bucket id per vector (sign pattern of n_planes
-    pseudo-random projections).  Hyperplane components are deterministic
-    ±1 derived from md5 bits — portable, seedable, no RNG state.
+    pseudo-random projections) — SimHash-for-cosine.
 
     bucket = sum over planes p of (1<<p if dot(q, h_p) > 0).
     """
     qdf = quantized(emb)
-    # h_p[i] = +1 if md5("seed:p:i") first hex nibble >= 8 else -1 ; built as
-    # a SQL expression over positions so it stays JVM-side.
-    planes = []
-    for p in range(n_planes):
+    signs = _hyperplane_signs(n_planes, dim, seed)
+    bucket = F.lit(0)
+    for p, row in enumerate(signs):
+        lit_row = F.array(*[F.lit(s) for s in row])
         proj = F.aggregate(
-            F.zip_with(
-                F.col("q"),
-                F.sequence(F.lit(0), F.size("q") - 1),
-                lambda v, i: F.when(
-                    F.substring(
-                        F.md5(F.concat_ws(":", F.lit(str(seed)), F.lit(str(p)), i.cast("string")).cast("binary")),
-                        1,
-                        1,
-                    ).isin("8", "9", "a", "b", "c", "d", "e", "f"),
-                    v,
-                ).otherwise(-v),
-            ),
+            F.zip_with(F.col("q"), lit_row, lambda v, s: v * s),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         )
-        planes.append(F.when(proj > 0, F.shiftleft(F.lit(1), p)).otherwise(0))
-    bucket = planes[0]
-    for pl in planes[1:]:
-        bucket = bucket + pl
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
     return qdf.withColumn("bucket", bucket.cast("bigint"))
 
 

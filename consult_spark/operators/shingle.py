@@ -66,8 +66,10 @@ def featurize_pdf(pdf: pd.DataFrame, cfg: Config) -> pd.DataFrame:
     rows_id: list[str] = []
     rows_kind: list[str] = []
     sets: list[np.ndarray] = []
+    has_pcm = "pcm" in cfg.channels
     for t in pdf.itertuples(index=False):
-        data = t.bytes if isinstance(t.bytes, bytes) else bytes(t.bytes)
+        if has_pcm:
+            data = t.bytes if isinstance(t.bytes, bytes) else bytes(t.bytes)
         for kind in cfg.channels:
             if kind == "pcm":
                 s = pcm_shingle_set(data, t.codec, cfg)
@@ -95,10 +97,15 @@ def featurize_pdf(pdf: pd.DataFrame, cfg: Config) -> pd.DataFrame:
 def featurize(clips_df, cfg: Config):
     """Spark stage: clips DataFrame -> features DataFrame.
 
-    Column-prunes to exactly what the kernels need before the Python
-    boundary; `bytes` never travels further than this stage.
+    Column-prunes to exactly what the active channels need before the Python
+    boundary; `bytes` never travels further than this stage, and a txt-only
+    config (e.g. deduping a documents table) needs no audio columns at all.
     """
-    cols = ["clip_id", "bytes", "codec", "transcript"]
+    cols = ["clip_id"]
+    if "pcm" in cfg.channels:
+        cols += ["bytes", "codec"]
+    if "txt" in cfg.channels:
+        cols += ["transcript"]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -135,7 +135,7 @@ def simhash16(docs: DataFrame) -> DataFrame:
     per_bit = exploded.groupBy("doc_id", "j").agg(F.sum("vote").alias("v"))
     return per_bit.groupBy("doc_id").agg(
         F.sum(
-            F.when(F.col("v") > 0, F.shiftleft(F.lit(1), F.col("j"))).otherwise(0)
+            F.when(F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(0)
         ).cast("bigint").alias("simhash")
     )
 

@@ -1,0 +1,33 @@
+"""Streaming ingest: incremental featurization equals the batch result."""
+
+from __future__ import annotations
+
+import os
+
+from consult_spark.streaming.ingest import stream_featurize
+from consult_spark.operators import shingle as SH
+
+
+def test_stream_featurize_matches_batch(spark, corpus_xs, cfg, tmp_path):
+    clips_dir = str(tmp_path / "clips_in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = corpus_xs["clips"].head(60)
+    # write as 3 separate files to exercise multi-batch behavior
+    for i in range(3):
+        spark.createDataFrame(pdf.iloc[i * 20 : (i + 1) * 20]).coalesce(1).write.mode(
+            "append"
+        ).parquet(clips_dir)
+
+    q = stream_featurize(spark, clips_dir, out_dir, ckpt, cfg, max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(os.path.join(out_dir, "features_stream"))
+    batch = SH.featurize(spark.createDataFrame(pdf), cfg)
+    got = {(r["clip_id"], r["kind"]): tuple(r["minhash"]) for r in streamed.collect()}
+    exp = {(r["clip_id"], r["kind"]): tuple(r["minhash"]) for r in batch.collect()}
+    assert got == exp
+    # resume: restarting over the same checkpoint must not duplicate rows
+    q2 = stream_featurize(spark, clips_dir, out_dir, ckpt, cfg)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(os.path.join(out_dir, "features_stream")).count() == len(exp)
