@@ -234,7 +234,9 @@ def generate_corpus_spark(spark, n_rows: int, seed: int = 42, n_partitions: int 
     bytes inside mapInPandas. Deterministic under any partitioning because
     every row derives from its own SeedSequence."""
     layout = corpus_layout(n_rows, seed)
-    n_partitions = n_partitions or max(8, n_rows // 1000)
+    # ~250 clips (~15 MB of WAV) per output file: enough files that a 32-core
+    # local run and a many-executor cluster both get fine-grained tasks
+    n_partitions = n_partitions or max(8, n_rows // 250)
     ldf = spark.createDataFrame(layout).repartition(n_partitions, "clip_id")
 
     def gen(batches):

@@ -72,23 +72,27 @@ def channel_scores(pairs: DataFrame, features: DataFrame, kind: str, cfg: Config
             if not len(pdf):
                 continue
             jac = np.empty(len(pdf), dtype=np.float64)
+            min_n = np.empty(len(pdf), dtype=np.int32)
             for i, (sa, sb) in enumerate(zip(pdf["sh_a"], pdf["sh_b"])):
                 sa = np.asarray(sa, dtype=np.int64)
                 sb = np.asarray(sb, dtype=np.int64)
                 inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
                 union = sa.shape[0] + sb.shape[0] - inter
                 jac[i] = inter / union if union else 0.0
+                min_n[i] = min(sa.shape[0], sb.shape[0])
             yield pd.DataFrame(
                 {
                     "clip_a": pdf["clip_a"],
                     "clip_b": pdf["clip_b"],
                     "jaccard": jac,
                     "hamming": pdf["hamming"].astype("int32"),
+                    "min_n": min_n,
                 }
             )
 
     return joined.mapInPandas(
-        score, schema="clip_a string, clip_b string, jaccard double, hamming int"
+        score,
+        schema="clip_a string, clip_b string, jaccard double, hamming int, min_n int",
     )
 
 
@@ -123,11 +127,11 @@ def confirm_pairs(candidates: DataFrame, features: DataFrame, clips: DataFrame, 
     """Full verification -> CONFIRMED_SCHEMA rows (only pairs passing at
     least one channel's confirmation, i.e. is_dup = true)."""
     pcm = channel_scores(candidates, features, "pcm", cfg).withColumnsRenamed(
-        {"jaccard": "pcm_jaccard", "hamming": "pcm_hamming"}
+        {"jaccard": "pcm_jaccard", "hamming": "pcm_hamming", "min_n": "pcm_min_n"}
     )
     txt = channel_scores(candidates, features, "txt", cfg).withColumnsRenamed(
         {"jaccard": "txt_jaccard", "hamming": "txt_hamming"}
-    )
+    ).drop("min_n")
     tr = transcript_scores(candidates, clips, cfg)
     out = (
         candidates.join(pcm, ["clip_a", "clip_b"], "left")
@@ -139,9 +143,17 @@ def confirm_pairs(candidates: DataFrame, features: DataFrame, clips: DataFrame, 
         .withColumn("txt_hamming", F.coalesce("txt_hamming", F.lit(64)).cast("int"))
         .withColumn("lcs", F.coalesce("lcs", F.lit(0)).cast("int"))
         .withColumn("substr", F.coalesce("substr", F.lit(False)))
+        .withColumn("pcm_min_n", F.coalesce("pcm_min_n", F.lit(0)))
+        .withColumn(
+            # low-complexity masking: flat clips (tiny shingle sets) must
+            # clear the stricter threshold — see Config.low_info_floor
+            "pcm_threshold",
+            F.when(F.col("pcm_min_n") < cfg.low_info_floor, F.lit(cfg.low_info_jaccard))
+            .otherwise(F.lit(cfg.jaccard_threshold)),
+        )
         .withColumn(
             "is_dup",
-            (F.col("pcm_jaccard") >= cfg.jaccard_threshold)
+            (F.col("pcm_jaccard") >= F.col("pcm_threshold"))
             | ((F.col("txt_jaccard") >= cfg.txt_jaccard_threshold) & F.col("substr")),
         )
         .select(

@@ -280,7 +280,9 @@ def run_oracle(clips_pdf, cfg: Config) -> OracleResult:
 
     for (a, b), info in r.candidates.items():
         scores = dict(info)
-        for kind in ("pcm", "txt"):
+        scores.update({"pcm_jaccard": 0.0, "txt_jaccard": 0.0,
+                       "pcm_hamming": 64, "txt_hamming": 64})
+        for kind in cfg.channels:
             sa, sb = r.shingle_sets[(a, kind)], r.shingle_sets[(b, kind)]
             ham = bin(r.simhashes[(a, kind)] ^ r.simhashes[(b, kind)]).count("1")
             if ham <= cfg.simhash_prefilter_max:
@@ -292,8 +294,12 @@ def run_oracle(clips_pdf, cfg: Config) -> OracleResult:
         m = min(len(transcripts[a] or ""), len(transcripts[b] or ""))
         scores["lcs"] = lcs
         scores["substr"] = bool(m and lcs >= cfg.substr_min_frac * m)
+        # low-complexity masking (mirrors verify.confirm_pairs)
+        pcm_min_n = min(len(r.shingle_sets[(a, "pcm")]), len(r.shingle_sets[(b, "pcm")])) \
+            if ("pcm" in cfg.channels) else 0
+        pcm_thr = cfg.low_info_jaccard if pcm_min_n < cfg.low_info_floor else cfg.jaccard_threshold
         scores["is_dup"] = bool(
-            scores["pcm_jaccard"] >= cfg.jaccard_threshold
+            scores["pcm_jaccard"] >= pcm_thr
             or (scores["txt_jaccard"] >= cfg.txt_jaccard_threshold and scores["substr"])
         )
         if scores["is_dup"]:

@@ -1,0 +1,69 @@
+"""Plan-quality pins: column pruning, no cartesian joins, codegen coverage.
+
+The 100 TB story depends on these properties; asserting them keeps a
+refactor from silently regressing the plan (e.g. a featurize change that
+starts dragging `bytes` past the decode stage)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from consult_spark.operators import bands as B
+from consult_spark.operators import pairs as P
+from consult_spark.operators import shingle as SH
+from consult_spark.operators import textdedup, ann
+from consult_spark.plans.inspect import plan_properties, read_schema_columns
+
+
+@pytest.fixture(scope="module")
+def clips_parquet(spark, corpus_xs, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("plans") / "clips")
+    spark.createDataFrame(corpus_xs["clips"]).write.parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_featurize_prunes_scan_columns(clips_parquet, cfg):
+    """The scan under featurize must read only the 4 needed columns —
+    sr_hz/dur_ms never leave the parquet footer."""
+    feats = SH.featurize(clips_parquet, cfg)
+    cols = set(read_schema_columns(feats))
+    assert cols == {"clip_id", "bytes", "codec", "transcript"}
+
+
+def test_txt_only_featurize_never_reads_bytes(clips_parquet, cfg):
+    from consult_spark.config import Config
+
+    feats = SH.featurize(clips_parquet, Config(channels=("txt",)))
+    cols = set(read_schema_columns(feats))
+    assert "bytes" not in cols
+
+
+def test_pair_generation_has_no_cartesian_or_python(spark, clips_parquet, cfg):
+    feats = SH.featurize(clips_parquet, cfg)
+    buckets = B.salted_capped_buckets(B.explode_bands(feats), cfg)
+    pairs = P.candidate_pairs(buckets, cfg)
+    props = plan_properties(pairs)
+    assert not props["has_cartesian"]
+    # bucket-local pair expansion is pure JVM: exactly one Python stage
+    # (featurize) in the whole plan — "(n) MapInPandas" detail entries
+    import re
+
+    assert len(re.findall(r"\(\d+\) MapInPandas", props["plan"])) == 1
+    # the two-phase cap must compile to WindowGroupLimit (rank pushdown)
+    assert props["plan"].count("WindowGroupLimit") >= 2
+
+
+def test_textdedup_confirmed_no_cartesian(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    props = plan_properties(textdedup.confirmed_pairs(docs))
+    assert not props["has_cartesian"]
+    # fully JVM-side: no Python stage anywhere in the text pipeline
+    assert "MapInPandas" not in props["plan"]
+
+
+def test_ann_lsh_avoids_cross_join(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bucketed = plan_properties(ann.lsh_bucketed_topk(emb, n_planes=6))
+    # the scale path must never produce a cartesian product
+    assert not bucketed["has_cartesian"]
