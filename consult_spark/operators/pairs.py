@@ -43,6 +43,27 @@ def bucket_pairs(buckets: DataFrame) -> DataFrame:
     )
 
 
+def probe_candidates(query_bands: DataFrame, lib_buckets: DataFrame, cfg: Config) -> DataFrame:
+    """Query-vs-library probe (CONSULT's actual search mode,
+    main_search.cpp:810-846): join query band rows against the prebuilt
+    bucket table -> (query_id, lib_id, kind, n_bands).
+
+    The library side is capped (bands.salted_capped_buckets), so each query
+    band row meets <= cap library rows.  Catalyst picks broadcast when the
+    library fits (the distributed stand-in for CONSULT's RAM-resident shared
+    index, main_search.cpp:523-658) and a shuffled join otherwise.
+    """
+    lib = lib_buckets.withColumnsRenamed({"clip_id": "lib_id"})
+    q = query_bands.withColumnsRenamed({"clip_id": "query_id"})
+    hits = q.join(lib, BUCKET_COLS, "inner").filter(F.col("query_id") != F.col("lib_id"))
+    agg = hits.groupBy("query_id", "lib_id").agg(
+        F.sum(F.when(F.col("kind") == "pcm", 1).otherwise(0)).alias("n_bands_pcm"),
+        F.sum(F.when(F.col("kind") == "txt", 1).otherwise(0)).alias("n_bands_txt"),
+    )
+    c = cfg.min_common_bands
+    return agg.filter((F.col("n_bands_pcm") >= c) | (F.col("n_bands_txt") >= c))
+
+
 def candidate_pairs(buckets: DataFrame, cfg: Config) -> DataFrame:
     """-> (clip_a, clip_b, n_bands_pcm, n_bands_txt), clip_a < clip_b,
     deduplicated across bands and channels, c-threshold applied per channel

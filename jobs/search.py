@@ -1,0 +1,92 @@
+"""Search job — the Spark re-expression of `./main_search -i DB -c 1 -q DIR`
+(main_search.cpp:684-1061): probe query clips against a prebuilt index
+(jobs/build_index.py), verify candidates exactly, classify each query clip
+matched/unmatched by the c-threshold, and write:
+
+  matched_clips(query_id, lib_id, scores...)  — verified hits
+  unmatched_clips(clip_id ...)                — the ucseq_ analog
+                                                 (main_search.cpp:1021-1041)
+  per-run metrics                             — (file, lines, matched) analog
+
+    spark-submit --py-files dist/consult_spark.zip jobs/search.py \
+        --queries <parquet> --warehouse <index dir> --out <dir>
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from consult_spark.config import Config
+from consult_spark.io import Warehouse
+from consult_spark.metrics import MetricsSink
+from consult_spark.operators import bands as bands_op
+from consult_spark.operators import pairs as pairs_op
+from consult_spark.operators import shingle as shingle_op
+from consult_spark.operators import verify as verify_op
+
+
+def search(spark: SparkSession, queries: DataFrame, warehouse_dir: str,
+           cfg: Config | None = None) -> dict:
+    wh = Warehouse(spark, warehouse_dir, cfg or Config())
+    cfg = wh.read_config()  # refuse param mismatch (main_search.cpp:164-381)
+    sink = MetricsSink(wh)
+
+    lib_buckets = wh.read("lsh_buckets")
+    lib_features = wh.read("features")
+
+    q_features = shingle_op.featurize(queries, cfg)
+    q_bands = bands_op.explode_bands(q_features)
+    cands = pairs_op.probe_candidates(q_bands, lib_buckets, cfg)
+
+    # verify with the query side as clip_a and library side as clip_b,
+    # reusing the pair verifier over the union of both feature tables
+    pair_shaped = cands.select(
+        F.col("query_id").alias("clip_a"),
+        F.col("lib_id").alias("clip_b"),
+        "n_bands_pcm",
+        "n_bands_txt",
+    )
+    all_features = q_features.unionByName(lib_features).dropDuplicates(["clip_id", "kind"])
+    # transcripts for the suffix-array check come from both sides
+    transcripts = queries.select("clip_id", "transcript").unionByName(
+        wh.read("transcripts")
+    ).dropDuplicates(["clip_id"])
+    confirmed = verify_op.confirm_pairs(pair_shaped, all_features, transcripts, cfg)
+
+    matched = confirmed.select(F.col("clip_a").alias("clip_id")).distinct()
+    unmatched = queries.select("clip_id").join(matched, "clip_id", "left_anti")
+    sink.add("search", "n_queries", queries.count())
+    n_matched = matched.count()
+    sink.add("search", "n_matched", n_matched)
+    sink.flush()
+    return {
+        "confirmed": confirmed,
+        "matched": matched,
+        "unmatched": unmatched,
+        "n_matched": n_matched,
+        "warehouse": wh,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--queries", required=True)
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+    from consult_spark.session import get_spark
+
+    spark = get_spark("consult_spark.search", master=args.master)
+    res = search(spark, spark.read.parquet(args.queries), args.warehouse)
+    res["confirmed"].write.mode("overwrite").parquet(f"{args.out}/matched_clips")
+    res["unmatched"].write.mode("overwrite").parquet(f"{args.out}/unmatched_clips")
+    print({"n_matched": res["n_matched"]})
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
