@@ -46,9 +46,11 @@ class Config:
     #      main_map.cpp:1221-1256 / 1296-1317) ----
     simhash_bits: int = 64
     simhash_max_hamming: int = 3   # p (reference default p=3, main_map.cpp:198)
-    simhash_prefilter_max: int = 30  # generous hd() prefilter before the fat
-                                     # shingle join; tightened from measured
-                                     # dup-pair hamming distribution
+    simhash_prefilter_max: int = 24  # hd() prefilter before the fat shingle
+                                     # join; measured dup-pair hamming tops
+                                     # out at 19 (p99=16), unrelated median
+                                     # is 32 — 24 keeps every dup with margin
+                                     # and cuts ~95% of junk candidates
 
     # ---- bucket capacity / skew bound (analog of the 28-slot row cap,
     #      main_map.cpp:62, 592-623) ----

@@ -40,26 +40,50 @@ CONFIRMED_SCHEMA = (
 
 def _channel_features(features: DataFrame, kind: str) -> DataFrame:
     return features.filter(F.col("kind") == kind).select(
-        "clip_id", "shingles", "simhash"
+        "clip_id", "shingles", "simhash", "n_shingles"
     )
 
 
 def channel_scores(pairs: DataFrame, features: DataFrame, kind: str, cfg: Config) -> DataFrame:
-    """pairs x features -> (clip_a, clip_b, jaccard, hamming) for one channel.
+    """pairs x features -> (clip_a, clip_b, jaccard, hamming, min_n).
 
-    The simhash prefilter runs on the narrow (clip_id, simhash) projection
-    BEFORE the shingle arrays are joined in, so hot pairs that can't possibly
-    verify never move the fat payload across the shuffle.
+    Two cheap prunes run on the narrow (clip_id, simhash, n_shingles)
+    projection BEFORE the shingle arrays are joined in, so pairs that cannot
+    possibly verify never move the fat payload across the shuffle:
+
+      1. SimHash Hamming <= cfg.simhash_prefilter_max (the hd() analog);
+      2. containment bound: jaccard <= min_n/max_n, so if the size ratio is
+         already below the pair's applicable threshold the exact jaccard
+         cannot clear it — size-mismatched pairs die for 16 bytes of IO.
     """
     feats = _channel_features(features, kind)
-    narrow = feats.select("clip_id", "simhash")
+    narrow = feats.select("clip_id", "simhash", "n_shingles")
+    if kind == "pcm":
+        thr = F.when(
+            F.least("n_a", "n_b") < cfg.low_info_floor, F.lit(cfg.low_info_jaccard)
+        ).otherwise(F.lit(cfg.jaccard_threshold))
+    else:
+        thr = F.lit(cfg.txt_jaccard_threshold)
     with_sim = (
         pairs.select("clip_a", "clip_b")
-        .join(narrow.withColumnsRenamed({"clip_id": "clip_a", "simhash": "simhash_a"}), "clip_a")
-        .join(narrow.withColumnsRenamed({"clip_id": "clip_b", "simhash": "simhash_b"}), "clip_b")
+        .join(
+            narrow.withColumnsRenamed(
+                {"clip_id": "clip_a", "simhash": "simhash_a", "n_shingles": "n_a"}
+            ),
+            "clip_a",
+        )
+        .join(
+            narrow.withColumnsRenamed(
+                {"clip_id": "clip_b", "simhash": "simhash_b", "n_shingles": "n_b"}
+            ),
+            "clip_b",
+        )
         .withColumn("hamming", F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))))
     )
-    survivors = with_sim.filter(F.col("hamming") <= cfg.simhash_prefilter_max)
+    survivors = with_sim.filter(
+        (F.col("hamming") <= cfg.simhash_prefilter_max)
+        & (F.least("n_a", "n_b") >= thr * F.greatest("n_a", "n_b"))
+    )
     fat = feats.select("clip_id", "shingles")
     joined = (
         survivors.select("clip_a", "clip_b", "hamming")
@@ -132,7 +156,13 @@ def confirm_pairs(candidates: DataFrame, features: DataFrame, clips: DataFrame, 
     txt = channel_scores(candidates, features, "txt", cfg).withColumnsRenamed(
         {"jaccard": "txt_jaccard", "hamming": "txt_hamming"}
     ).drop("min_n")
-    tr = transcript_scores(candidates, clips, cfg)
+    # the suffix-array check only participates in the decision when the txt
+    # Jaccard already clears its threshold — gate the (python-side, O(n))
+    # LCS to exactly those pairs instead of paying it for every candidate
+    txt_ok = txt.filter(F.col("txt_jaccard") >= cfg.txt_jaccard_threshold).select(
+        "clip_a", "clip_b"
+    )
+    tr = transcript_scores(txt_ok, clips, cfg)
     out = (
         candidates.join(pcm, ["clip_a", "clip_b"], "left")
         .join(txt, ["clip_a", "clip_b"], "left")

@@ -285,13 +285,22 @@ def run_oracle(clips_pdf, cfg: Config) -> OracleResult:
         for kind in cfg.channels:
             sa, sb = r.shingle_sets[(a, kind)], r.shingle_sets[(b, kind)]
             ham = bin(r.simhashes[(a, kind)] ^ r.simhashes[(b, kind)]).count("1")
-            if ham <= cfg.simhash_prefilter_max:
-                scores[f"{kind}_jaccard"] = jac(sa, sb)
+            na, nb = len(sa), len(sb)
+            if kind == "pcm":
+                thr = cfg.low_info_jaccard if min(na, nb) < cfg.low_info_floor else cfg.jaccard_threshold
             else:
-                scores[f"{kind}_jaccard"] = 0.0
-            scores[f"{kind}_hamming"] = ham if ham <= cfg.simhash_prefilter_max else 64
-        lcs = lcs_len(transcripts[a], transcripts[b])
-        m = min(len(transcripts[a] or ""), len(transcripts[b] or ""))
+                thr = cfg.txt_jaccard_threshold
+            # mirror verify.channel_scores prunes: simhash prefilter +
+            # containment bound (jaccard <= min/max)
+            passes = ham <= cfg.simhash_prefilter_max and min(na, nb) >= thr * max(na, nb)
+            scores[f"{kind}_jaccard"] = jac(sa, sb) if passes else 0.0
+            scores[f"{kind}_hamming"] = ham if passes else 64
+        # LCS is gated on the txt-Jaccard threshold (mirrors verify.confirm_pairs)
+        if scores["txt_jaccard"] >= cfg.txt_jaccard_threshold:
+            lcs = lcs_len(transcripts[a], transcripts[b])
+            m = min(len(transcripts[a] or ""), len(transcripts[b] or ""))
+        else:
+            lcs, m = 0, 0
         scores["lcs"] = lcs
         scores["substr"] = bool(m and lcs >= cfg.substr_min_frac * m)
         # low-complexity masking (mirrors verify.confirm_pairs)
