@@ -100,7 +100,7 @@ def run_audio_pipeline_e2e(spark, clips_path: str) -> dict:
     n_clips = clips.count()
     s0 = _steal_ticks()
     t0 = time.time()
-    features = shingle_op.featurize(clips, cfg).persist()
+    features = shingle_op.featurize_from_parquet(spark, clips_path, cfg).persist()
     buckets = bands_op.salted_capped_buckets(bands_op.explode_bands(features), cfg)
     candidates = pairs_op.candidate_pairs(buckets, cfg)
     confirmed = verify_op.confirm_pairs(candidates, features, clips, cfg).persist()
