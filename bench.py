@@ -101,6 +101,7 @@ def run_audio_pipeline_e2e(spark, clips_path: str) -> dict:
     s0 = _steal_ticks()
     t0 = time.time()
     features = shingle_op.featurize_from_parquet(spark, clips_path, cfg).persist()
+    features.count()  # materialize the cache once; three downstream readers
     buckets = bands_op.salted_capped_buckets(bands_op.explode_bands(features), cfg)
     candidates = pairs_op.candidate_pairs(buckets, cfg)
     confirmed = verify_op.confirm_pairs(candidates, features, clips, cfg).persist()
@@ -134,7 +135,7 @@ def run_audio_pipeline(spark, clips_path: str) -> dict:
     n_clips = clips.count()
     warm_python_workers(spark)
     t0 = time.time()
-    features = shingle_op.featurize(clips, cfg)
+    features = shingle_op.featurize_from_parquet(spark, clips_path, cfg)
     features.persist()
     n_features = features.count()
     t_feat = time.time()
