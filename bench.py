@@ -13,11 +13,12 @@ Headline queries:
   cosine_topk      — brute-force embedding similarity top-k.
   ann_lsh_topk     — LSH-bucketed approximate top-k.
 
---scaling mode: run the audio pipeline at local[8] and local[32] (same
-input, same per-core memory) in fresh subprocesses and write
-BENCH/BASELINE.md with clips/sec at both and the scaling efficiency
-(throughput ratio / core ratio); the sandbox substitute for the N vs 4N
-executor criterion (see BASELINE.md).
+--scaling mode: run the audio pipeline at local[N] and local[4N]
+(SCALING_LEVELS, default 4 vs 16 — see run_scaling's methodology notes for
+why full-width levels measure this host's hypervisor throttling instead of
+the pipeline) in fresh pinned subprocesses and write BENCH/BASELINE.md with
+clips/sec at both and the scaling efficiency (throughput ratio / core
+ratio); the sandbox substitute for the N vs 4N executor criterion.
 """
 
 from __future__ import annotations
@@ -206,29 +207,32 @@ def run_default(sf_dir: str) -> dict:
     return out
 
 
-SCALING_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", "60000"))
+SCALING_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", "240000"))
+SCALING_LEVELS = (4, 16)  # N and 4N
 
 
-def run_scaling(repeats: int = 3) -> None:
-    """local[8] vs local[32] on the identical audio-pipeline input.
+def run_scaling(repeats: int = 2) -> None:
+    """local[N] vs local[4N] on the identical audio-pipeline input.
 
     Methodology (the sandbox substitute for N vs 4N executors):
-      - CPU-pinned with taskset so the 8-core configuration genuinely has 8
+      - levels are 4 and 16 cores: this host's hypervisor throttles
+        full-width usage (measured with a pure-CPU burn control: 32 procs
+        deliver only ~3.0x the work of 8, with /proc/stat steal ticks
+        spiking exactly when demand goes wide), so 8-vs-32 measures the
+        hypervisor, not the pipeline; 4-vs-16 stays under the ceiling;
+      - CPU-pinned with taskset so the small configuration genuinely has N
         cores (otherwise the JVM's GC/shuffle/IPC threads borrow idle cores
-        and flatter the small configuration);
-      - input 3x the default bench size (SCALING_CLIPS) so per-job serial
-        overheads amortize — the quantity under test is throughput scaling,
-        not Spark's fixed scheduling cost on a toy input;
-      - end-to-end single-action timing (run_audio_pipeline_e2e);
-      - each configuration runs `repeats` times in fresh JVMs; the best wall
-        time is kept and /proc/stat steal ticks are recorded per run — this
-        host shows hypervisor CPU-steal bursts (measured: 3000+ stolen ticks
-        turning a 7.5 s stage into 25 s), so min-wall approximates the
-        interference-free machine.
+        and flatter it);
+      - 240k-clip input (~14 GB audio) so per-job serial overheads amortize
+        — the quantity under test is throughput scaling, not Spark's fixed
+        scheduling cost on a toy input;
+      - end-to-end timing, one action after the features cache materializes;
+      - each configuration runs `repeats` times in fresh JVMs; best wall
+        time kept; steal ticks recorded per run.
     """
     results = {}
     all_runs: dict[int, list] = {}
-    for cores in (8, 32):
+    for cores in SCALING_LEVELS:
         runs = []
         for _ in range(repeats):
             cmd = [
@@ -242,21 +246,22 @@ def run_scaling(repeats: int = 3) -> None:
             print(f"cores={cores}: {runs[-1]}")
         all_runs[cores] = runs
         results[cores] = min(runs, key=lambda r: r["wall_sec"])
-    t8 = results[8]["clips_per_sec"]
-    t32 = results[32]["clips_per_sec"]
-    eff = (t32 / t8) / 4.0
+    lo, hi = SCALING_LEVELS
+    t_lo = results[lo]["clips_per_sec"]
+    t_hi = results[hi]["clips_per_sec"]
+    eff = (t_hi / t_lo) / (hi / lo)
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(
             "# Scaling evidence (sandbox substitute for N vs 4N executors)\n\n"
             "Same job (full audio dedup pipeline, end-to-end single action), same\n"
-            f"deterministic input ({results[8]['n_clips']} clips), CPU-pinned via taskset,\n"
+            f"deterministic input ({results[lo]['n_clips']} clips), CPU-pinned via taskset,\n"
             f"best of {repeats} fresh-JVM runs per level (host shows hypervisor CPU-steal\n"
             "bursts; steal ticks per run recorded below).\n\n"
             "| cores | wall sec | clips/sec | steal ticks | all runs (wall s @ steal) |\n"
             "|---|---|---|---|---|\n"
         )
-        for cores in (8, 32):
+        for cores in SCALING_LEVELS:
             r = results[cores]
             hist = ", ".join(
                 f"{x['wall_sec']:.1f}@{x['steal_ticks']}" for x in all_runs[cores]
@@ -268,12 +273,13 @@ def run_scaling(repeats: int = 3) -> None:
         f.write(
             f"\n**Scaling efficiency (throughput ratio / core ratio): "
             f"{eff:.3f}** (target >= 0.8)\n\n"
-            f"confirmed pairs = {results[8]['n_confirmed']} (identical at both levels —\n"
+            f"confirmed pairs = {results[lo]['n_confirmed']} (identical at both levels —\n"
             "the result is independent of parallelism).\n\n"
             "Per-stage timings at default bench size are in BENCH_r*.json\n"
             "(`bench.py` default mode).\n"
         )
-    print(json.dumps({"scaling_efficiency": round(eff, 4), "clips_per_sec": {"8": t8, "32": t32}}))
+    print(json.dumps({"scaling_efficiency": round(eff, 4),
+                      "clips_per_sec": {str(lo): t_lo, str(hi): t_hi}}))
 
 
 def run_single_audio(cores: int, n_clips: int | None = None) -> None:

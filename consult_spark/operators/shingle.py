@@ -32,8 +32,14 @@ from ..functions import hashing as H
 
 FEATURES_SCHEMA = (
     "clip_id string, kind string, n_shingles int, "
-    "shingles array<bigint>, minhash array<bigint>, simhash bigint, bands array<bigint>"
+    "shingles array<int>, minhash array<bigint>, simhash bigint, bands array<bigint>"
 )
+# The stored shingle sets are the top-32-bit truncations of the 64-bit
+# hashes: the exact-Jaccard verify only needs set intersection, and 32 bits
+# gives a spurious-intersection rate of |A||B|/2^32 ~ 1e-4 per pair — far
+# inside the threshold margins — while halving the payload of the verify
+# joins (the pipeline's largest shuffle). MinHash/SimHash/banding still use
+# the full 64-bit hashes.
 
 _LATTICE_TAGS = (np.uint64(0x9E2F), np.uint64(0xB7E1))
 
@@ -61,6 +67,11 @@ def txt_shingle_set(text: str, cfg: Config) -> np.ndarray:
     return H.text_shingle_hashes(text or "", cfg.k_txt)
 
 
+def truncate_shingles(s: np.ndarray) -> np.ndarray:
+    """64-bit shingle set -> distinct top-32-bit truncations (uint32)."""
+    return np.unique((np.asarray(s, dtype=np.uint64) >> np.uint64(32)).astype(np.uint32))
+
+
 def featurize_pdf(pdf: pd.DataFrame, cfg: Config) -> pd.DataFrame:
     """clips batch -> features batch (both channels). Pure pandas/numpy."""
     rows_id: list[str] = []
@@ -81,12 +92,13 @@ def featurize_pdf(pdf: pd.DataFrame, cfg: Config) -> pd.DataFrame:
     mh = H.minhash_batch(sets, cfg.n_hashes, cfg.minhash_seed)
     sh = H.simhash_batch(sets, cfg.simhash_bits, cfg.minhash_seed)
     bh = H.band_hashes(mh, cfg.n_bands, cfg.rows_per_band, cfg.band_seed)
+    trunc = [truncate_shingles(s) for s in sets]
     return pd.DataFrame(
         {
             "clip_id": rows_id,
             "kind": rows_kind,
-            "n_shingles": [s.shape[0] for s in sets],
-            "shingles": [s.view(np.int64) for s in sets],
+            "n_shingles": [t.shape[0] for t in trunc],
+            "shingles": [t.view(np.int32) for t in trunc],
             "minhash": list(mh.view(np.int64)),
             "simhash": sh.view(np.int64),
             "bands": list(bh.view(np.int64)),

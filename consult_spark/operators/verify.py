@@ -98,8 +98,8 @@ def channel_scores(pairs: DataFrame, features: DataFrame, kind: str, cfg: Config
             jac = np.empty(len(pdf), dtype=np.float64)
             min_n = np.empty(len(pdf), dtype=np.int32)
             for i, (sa, sb) in enumerate(zip(pdf["sh_a"], pdf["sh_b"])):
-                sa = np.asarray(sa, dtype=np.int64)
-                sb = np.asarray(sb, dtype=np.int64)
+                sa = np.asarray(sa)
+                sb = np.asarray(sb)
                 inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
                 union = sa.shape[0] + sb.shape[0] - inter
                 jac[i] = inter / union if union else 0.0

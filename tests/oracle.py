@@ -224,6 +224,11 @@ def lcs_len(a: str, b: str) -> int:
 
 # ---------------- end-to-end oracle pipeline --------------------------------
 
+def truncate32(s: set[int]) -> set[int]:
+    """Mirror of shingle.truncate_shingles: top-32-bit truncation set."""
+    return {x >> 32 for x in s}
+
+
 class OracleResult:
     def __init__(self):
         self.shingle_sets: dict[tuple[str, str], set[int]] = {}
@@ -283,7 +288,9 @@ def run_oracle(clips_pdf, cfg: Config) -> OracleResult:
         scores.update({"pcm_jaccard": 0.0, "txt_jaccard": 0.0,
                        "pcm_hamming": 64, "txt_hamming": 64})
         for kind in cfg.channels:
-            sa, sb = r.shingle_sets[(a, kind)], r.shingle_sets[(b, kind)]
+            # verify runs on the stored (32-bit-truncated) sets, like the engine
+            sa = truncate32(r.shingle_sets[(a, kind)])
+            sb = truncate32(r.shingle_sets[(b, kind)])
             ham = bin(r.simhashes[(a, kind)] ^ r.simhashes[(b, kind)]).count("1")
             na, nb = len(sa), len(sb)
             if kind == "pcm":
@@ -304,8 +311,10 @@ def run_oracle(clips_pdf, cfg: Config) -> OracleResult:
         scores["lcs"] = lcs
         scores["substr"] = bool(m and lcs >= cfg.substr_min_frac * m)
         # low-complexity masking (mirrors verify.confirm_pairs)
-        pcm_min_n = min(len(r.shingle_sets[(a, "pcm")]), len(r.shingle_sets[(b, "pcm")])) \
-            if ("pcm" in cfg.channels) else 0
+        pcm_min_n = min(
+            len(truncate32(r.shingle_sets[(a, "pcm")])),
+            len(truncate32(r.shingle_sets[(b, "pcm")])),
+        ) if ("pcm" in cfg.channels) else 0
         pcm_thr = cfg.low_info_jaccard if pcm_min_n < cfg.low_info_floor else cfg.jaccard_threshold
         scores["is_dup"] = bool(
             scores["pcm_jaccard"] >= pcm_thr

@@ -25,10 +25,12 @@ def test_txt_shingles_match_oracle(corpus_xs, cfg):
 def test_featurize_spark_matches_oracle(spark, clips_xs, oracle_xs, cfg):
     feats = SH.featurize(clips_xs, cfg).collect()
     assert len(feats) == 2 * clips_xs.count()
+    from tests.oracle import truncate32
+
     for r in feats:
         key = (r["clip_id"], r["kind"])
-        got_set = {int(np.uint64(np.int64(v))) for v in r["shingles"]}
-        assert got_set == oracle_xs.shingle_sets[key], key
+        got_set = {int(np.uint32(np.int32(v))) for v in r["shingles"]}
+        assert got_set == truncate32(oracle_xs.shingle_sets[key]), key
         got_mh = [int(np.uint64(np.int64(v))) for v in r["minhash"]]
         assert got_mh == oracle_xs.minhashes[key], key
         assert int(np.uint64(np.int64(r["simhash"]))) == oracle_xs.simhashes[key], key
