@@ -112,6 +112,59 @@ qn AS (
 )
 """
 
+# hyperplane-LSH twins: reconstruct the engine's md5-derived ±1 planes
+# (ann._hyperplane_signs / ann._signs_matrix) in SQL.  Components are
+# 0-indexed in the md5 key; DuckDB lists are 1-indexed, hence i-1 in comp.
+_COMP = """
+comp AS (
+  SELECT vec_id, CAST(i - 1 AS INT) AS i, qv[CAST(i AS INT)] AS v
+  FROM qn, generate_series(1, 64) g(i)
+)
+"""
+
+# single plane-set (ann.hyperplane_buckets, seed 0xC05 = 3077, 6 planes)
+_TOPK_BUCKETS = _COMP + """,
+signs AS (
+  SELECT p, i,
+         CASE WHEN substring(md5('3077:' || CAST(p AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)
+              IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS s
+  FROM generate_series(0, 5) pp(p), generate_series(0, 63) ii(i)
+),
+proj AS (
+  SELECT c.vec_id, s.p, sum(c.v * s.s) AS pr
+  FROM comp c JOIN signs s ON s.i = c.i
+  GROUP BY 1, 2
+),
+bkt AS (
+  SELECT vec_id, CAST(sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id
+)
+"""
+
+# banded L x K plane-sets (ann._signs_matrix, seed 0xA9B = 2715, L=16, K=8)
+_BAND_BUCKETS = _COMP + """,
+signs AS (
+  SELECT t, p, i,
+         CASE WHEN substring(md5('2715:' || CAST(t AS VARCHAR) || ':' || CAST(p AS VARCHAR)
+                                 || ':' || CAST(i AS VARCHAR)), 1, 1)
+              IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS s
+  FROM generate_series(0, 15) tt(t), generate_series(0, 7) pp(p), generate_series(0, 63) ii(i)
+),
+proj AS (
+  SELECT c.vec_id, s.t, s.p, sum(c.v * s.s) AS pr
+  FROM comp c JOIN signs s ON s.i = c.i
+  GROUP BY 1, 2, 3
+),
+bkt AS (
+  SELECT vec_id, t, CAST(sum(CASE WHEN pr > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+  FROM proj GROUP BY vec_id, t
+)
+"""
+
+_SIM_MICRO_SQL = """CAST(floor(1000000.0 * list_sum(list_transform(
+                          list_zip(qa.qv, qb.qv), x -> x[1] * x[2]))
+                        / sqrt(CAST(qa.norm_q * qb.norm_q AS DOUBLE))) AS BIGINT)"""
+
 _LANG_MARKERS_SQL = """
 markers(lang_cand, tok) AS (
   VALUES
@@ -304,6 +357,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ann_op.lsh_bucketed_topk(_emb(spark, sf), n_planes=6)
 
+    def q_ann_near_dup_lsh(spark, sf):
+        from consult_spark.operators import ann as ann_op
+
+        return ann_op.near_dup_pairs_lsh(_emb(spark, sf))
+
     return {
         "shingle_stats": q_shingle_stats,
         "minimizer_thin": q_minimizer_thin,
@@ -328,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_confirmed_pairs": q_audio_confirmed_pairs,
         "audio_clusters": q_audio_clusters,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_near_dup_lsh": q_ann_near_dup_lsh,
     }
 
 
@@ -503,6 +562,36 @@ def oracle_sql() -> dict[str, str]:
               AND floor(1000000.0 * list_sum(list_transform(
                           list_zip(a.qv, b.qv), p -> p[1] * p[2]))
                         / sqrt(CAST(a.norm_q * b.norm_q AS DOUBLE))) >= 400000
+        """,
+        "ann_lsh_topk": f"""
+            WITH {_QEMB}, {_TOPK_BUCKETS},
+            scores AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_SIM_MICRO_SQL} AS sim_micro
+              FROM bkt a
+              JOIN bkt b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+              JOIN qn qa ON qa.vec_id = a.vec_id
+              JOIN qn qb ON qb.vec_id = b.vec_id
+            ),
+            ranked AS (
+              SELECT vec_a, vec_b, sim_micro,
+                     row_number() OVER (PARTITION BY vec_a ORDER BY sim_micro DESC, vec_b ASC) AS rank
+              FROM scores
+            )
+            SELECT vec_a, vec_b, sim_micro, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "ann_near_dup_lsh": f"""
+            WITH {_QEMB}, {_BAND_BUCKETS},
+            cand AS (
+              SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+              FROM bkt a
+              JOIN bkt b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+            )
+            SELECT c.vec_a, c.vec_b, {_SIM_MICRO_SQL} AS sim_micro
+            FROM cand c
+            JOIN qn qa ON qa.vec_id = c.vec_a
+            JOIN qn qb ON qb.vec_id = c.vec_b
+            WHERE {_SIM_MICRO_SQL} >= 400000
         """,
         "events_running": """
             SELECT event_id, user_id,

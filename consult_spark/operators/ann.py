@@ -56,18 +56,30 @@ def _sim_micro() -> F.Column:
     ).cast("bigint")
 
 
-def _pair_scores(qa: DataFrame, qb: DataFrame) -> DataFrame:
-    a = qa.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("q_a"), F.col("norm_q").alias("na"))
-    b = qb.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("q_b"), F.col("norm_q").alias("nb"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") != F.col("vec_b"))
-        .withColumn("sim_micro", _sim_micro())
-        .select("vec_a", "vec_b", "sim_micro")
-    )
-
-
 MAX_BROADCAST_VECTORS = 2_000_000  # ~1 GB of int64 64-dim vectors
+
+
+def _broadcast_matrix(emb: DataFrame):
+    """Collect + broadcast the quantized matrix for the brute-force paths.
+
+    Brute force inherently needs every vector against every other; the
+    driver collect is the documented ceiling (MAX_BROADCAST_VECTORS) — at
+    scale the default must be the LSH paths below, which never collect.
+    Returns (qdf, broadcast of (ids, matrix, norms))."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    qdf = quantized(emb)
+    full = qdf.toPandas()
+    if len(full) > MAX_BROADCAST_VECTORS:
+        raise ValueError(
+            f"{len(full)} vectors exceed the brute-force broadcast bound; "
+            "use lsh_bucketed_topk / near_dup_pairs_lsh"
+        )
+    ids_all = full["vec_id"].to_numpy()
+    m_all = np.stack(full["q"].to_numpy()).astype(np.int64)
+    norms_all = full["norm_q"].to_numpy().astype(np.int64)
+    return qdf, spark.sparkContext.broadcast((ids_all, m_all, norms_all))
 
 
 def cosine_topk(emb: DataFrame, k: int = 3) -> DataFrame:
@@ -81,20 +93,9 @@ def cosine_topk(emb: DataFrame, k: int = 3) -> DataFrame:
     deterministic double division).  Guarded by MAX_BROADCAST_VECTORS;
     beyond that use lsh_bucketed_topk (the scale path).
     """
-    spark = emb.sparkSession
-    qdf = quantized(emb)
-    full = qdf.toPandas()
-    if len(full) > MAX_BROADCAST_VECTORS:
-        raise ValueError(
-            f"{len(full)} vectors exceed the brute-force broadcast bound; "
-            "use lsh_bucketed_topk"
-        )
     import numpy as np
 
-    ids_all = full["vec_id"].to_numpy()
-    m_all = np.stack(full["q"].to_numpy()).astype(np.int64)
-    norms_all = full["norm_q"].to_numpy().astype(np.int64)
-    bc = spark.sparkContext.broadcast((ids_all, m_all, norms_all))
+    qdf, bc = _broadcast_matrix(emb)
 
     def block(batches):
         import pandas as pd
@@ -137,13 +138,43 @@ def cosine_topk(emb: DataFrame, k: int = 3) -> DataFrame:
 
 
 def near_dup_pairs(emb: DataFrame, threshold_micro: int = 400_000) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (canonical vec_a < vec_b)."""
-    q = quantized(emb)
-    return (
-        _pair_scores(q, q)
-        .filter((F.col("vec_a") < F.col("vec_b")) & (F.col("sim_micro") >= threshold_micro))
-        .select("vec_a", "vec_b", "sim_micro")
-    )
+    """EXACT embedding-cosine near-duplicate pairs (canonical vec_a < vec_b).
+
+    Blocked brute force, same pattern as cosine_topk: broadcast the
+    quantized matrix and let each task matmul its block against it — no
+    CartesianProduct node, no O(n^2) shuffle; the O(n^2) COMPUTE is inherent
+    to an exact threshold join over dense vectors (measured on the test
+    corpus: qualifying sims sit right at the threshold — sf0.1 spans
+    [400095, ~600000) with the densest non-qualifying pair at 399984 — so no
+    bucketing scheme can be both exact and sub-quadratic here).  For the
+    realistic near-dup regime (high-sim dups, huge n) use
+    ``near_dup_pairs_lsh``, which never collects and whose candidate volume
+    is bucket-bounded."""
+    import numpy as np
+
+    qdf, bc = _broadcast_matrix(emb)
+
+    def block(batches):
+        import pandas as pd
+
+        b_ids, b_m, b_norms = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_m = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            a_norms = pdf["norm_q"].to_numpy().astype(np.int64)
+            a_ids = pdf["vec_id"].to_numpy()
+            dots = a_m @ b_m.T  # exact int64
+            sim = np.floor(
+                1_000_000.0 * dots / np.sqrt((a_norms[:, None] * b_norms[None, :]).astype(np.float64))
+            ).astype(np.int64)
+            keep = (sim >= threshold_micro) & (a_ids[:, None] < b_ids[None, :])
+            ii, jj = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"vec_a": a_ids[ii], "vec_b": b_ids[jj], "sim_micro": sim[ii, jj]}
+            )
+
+    return qdf.mapInPandas(block, schema="vec_a bigint, vec_b bigint, sim_micro bigint")
 
 
 def _hyperplane_signs(n_planes: int, dim: int, seed: int) -> list[list[int]]:
@@ -179,6 +210,102 @@ def hyperplane_buckets(emb: DataFrame, n_planes: int = 12, seed: int = 0xC05, di
         )
         bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
     return qdf.withColumn("bucket", bucket.cast("bigint"))
+
+
+def _signs_matrix(n_bands: int, k: int, dim: int, seed: int):
+    """(n_bands * k, dim) ±1 hyperplane matrix from md5 bits, banded variant:
+    component (t, p, i) = sign of md5(f"{seed}:{t}:{p}:{i}")[0] — engine-
+    portable (the DuckDB oracle reconstructs the identical planes in SQL)."""
+    import hashlib
+
+    import numpy as np
+
+    m = np.empty((n_bands * k, dim), dtype=np.int64)
+    for t in range(n_bands):
+        for p in range(k):
+            for i in range(dim):
+                h = hashlib.md5(f"{seed}:{t}:{p}:{i}".encode()).digest()[0]
+                m[t * k + p, i] = 1 if h >= 128 else -1
+    return m
+
+
+def hyperplane_band_buckets(emb: DataFrame, n_bands: int = 16, planes_per_band: int = 8,
+                            seed: int = 0xA9B, dim: int = 64) -> DataFrame:
+    """L x K banded hyperplane LSH (the OR-amplification form): per vector,
+    one bucket id per band t = sign pattern of that band's K planes.
+
+    Same L x K algebra as the main pipeline's MinHash banding (and CONSULT's
+    L bit-sampled tables, main_map.cpp:385-486): a pair is a candidate if it
+    collides in ANY band, P(catch) = 1 - (1 - p^K)^L with p = 1 - theta/pi.
+    The 128 projections run as ONE int64 numpy matmul per Arrow batch — the
+    signs matrix is a tiny plan-embedded literal, nothing is collected."""
+    import numpy as np
+
+    signs = _signs_matrix(n_bands, planes_per_band, dim, seed)
+    weights = (np.int64(1) << np.arange(planes_per_band, dtype=np.int64))
+    qdf = quantized(emb)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            bits = (m @ signs.T > 0).astype(np.int64).reshape(len(pdf), n_bands, planes_per_band)
+            buckets = (bits * weights[None, None, :]).sum(axis=2)
+            ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(ids, n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int64), len(pdf)),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return qdf.select("vec_id", "q").mapInPandas(
+        run, schema="vec_id bigint, band int, bucket bigint"
+    )
+
+
+def near_dup_pairs_lsh(emb: DataFrame, threshold_micro: int = 400_000,
+                       n_bands: int = 16, planes_per_band: int = 8,
+                       seed: int = 0xA9B) -> DataFrame:
+    """Scale-path near-duplicate pairs: banded hyperplane LSH candidates,
+    exact integer re-score within collisions — never collects, never goes
+    quadratic; candidate volume is bounded by per-bucket occupancy
+    (n / 2^K expected per band at random, L bands).
+
+    Catch probability at the defaults (K=8, L=16): cosine 0.9 -> 0.996,
+    cosine 0.95 -> 0.9999; at the exact path's 0.4 threshold it is ~0.33 by
+    design — marginal pairs are the exact path's job (near_dup_pairs), dups
+    are this path's job.  The DuckDB oracle reconstructs the identical
+    md5-derived planes, so the driver gate checks this operator exactly
+    (bucketing included), not just its recall."""
+    b = hyperplane_band_buckets(emb, n_bands, planes_per_band, seed)
+    left = b.withColumnsRenamed({"vec_id": "vec_a"})
+    right = b.withColumnsRenamed({"vec_id": "vec_b"})
+    cand = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    q = quantized(emb)
+    scored = (
+        cand.join(
+            q.select(F.col("vec_id").alias("vec_a"), F.col("q").alias("q_a"), F.col("norm_q").alias("na")),
+            "vec_a",
+        )
+        .join(
+            q.select(F.col("vec_id").alias("vec_b"), F.col("q").alias("q_b"), F.col("norm_q").alias("nb")),
+            "vec_b",
+        )
+        .withColumn("sim_micro", _sim_micro())
+    )
+    return scored.filter(F.col("sim_micro") >= threshold_micro).select(
+        "vec_a", "vec_b", "sim_micro"
+    )
 
 
 def lsh_bucketed_topk(emb: DataFrame, k: int = 3, n_planes: int = 12) -> DataFrame:

@@ -67,3 +67,23 @@ def test_ann_lsh_avoids_cross_join(spark):
     bucketed = plan_properties(ann.lsh_bucketed_topk(emb, n_planes=6))
     # the scale path must never produce a cartesian product
     assert not bucketed["has_cartesian"]
+
+
+def test_near_dup_paths_have_no_cartesian(spark):
+    """Both near-dup forms: exact (broadcast matmul) and LSH (banded
+    buckets) — neither may plan a CartesianProduct/BroadcastNestedLoop."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assert not plan_properties(ann.near_dup_pairs(emb))["has_cartesian"]
+    assert not plan_properties(ann.near_dup_pairs_lsh(emb))["has_cartesian"]
+
+
+def test_near_dup_lsh_matches_exact_on_collisions(spark):
+    """Every LSH-path pair must appear in the exact path's output with the
+    identical sim_micro (the LSH path is a candidate-restriction, never a
+    score change)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {(r.vec_a, r.vec_b): r.sim_micro for r in ann.near_dup_pairs(emb).collect()}
+    lsh = {(r.vec_a, r.vec_b): r.sim_micro for r in ann.near_dup_pairs_lsh(emb).collect()}
+    assert lsh  # non-vacuous
+    for pair, sim in lsh.items():
+        assert exact[pair] == sim
