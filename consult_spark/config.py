@@ -31,6 +31,17 @@ class Config:
     k_pcm: int = 4                # symbols per PCM shingle; 4 x 16 bits = 64-bit pack
                                   # (analog of encodekmer's 32 x 2-bit pack, main_map.cpp:1221-1256)
     dual_lattice: bool = True     # union of offset-0 and offset-0.5 quantization lattices
+    pcm_minimizer_w: int = 0      # B4 minimizer thinning for the pcm channel: keep the
+                                  # min hash of each window of w consecutive shingles
+                                  # (minimization.cpp:158-171; README.md:143-163 motivation).
+                                  # Density 2/(w+1): w=6 -> ~3.3x fewer shingle rows with
+                                  # dup-cluster recall still >= 0.99 (test_minimizer_thinning).
+                                  # DEFAULT OFF for this corpus: the synthetic fixture's low
+                                  # spectral entropy makes winnowed sets of unrelated clips
+                                  # overlap (measured: false-pair jaccard p99 0.24 -> 0.73 at
+                                  # w=6), costing pairwise precision 0.97 -> ~0.90; enable on
+                                  # real high-entropy audio where the docstring of
+                                  # test_s_tier_pairwise_precision does not apply.
 
     # ---- transcript shingling ----
     k_txt: int = 5                # character shingle width over normalized text
@@ -65,7 +76,10 @@ class Config:
     # accidentally overlap other flat clips; pairs where EITHER side has
     # fewer than low_info_floor distinct pcm shingles must clear the
     # stricter threshold (the audio analog of masking low-complexity k-mers;
-    # measured: kills 97% of accidental confirms at 0.07% recall cost)
+    # measured: kills 97% of accidental confirms at 0.07% recall cost).
+    # Stated in FULL-DENSITY shingle units; scale by 2/(w+1) when enabling
+    # pcm_minimizer_w (the thinned populations compress toward each other,
+    # see test_minimizer_thinning for the measured envelope).
     low_info_floor: int = 100
     low_info_jaccard: float = 0.70
     txt_jaccard_threshold: float = 0.60

@@ -32,7 +32,8 @@ from ..functions import hashing as H
 
 FEATURES_SCHEMA = (
     "clip_id string, kind string, n_shingles int, "
-    "shingles array<int>, minhash array<bigint>, simhash bigint, bands array<bigint>"
+    "shingles array<int>, minhash array<bigint>, simhash bigint, bands array<bigint>, "
+    "decode_ok boolean"
 )
 # The stored shingle sets are the top-32-bit truncations of the 64-bit
 # hashes: the exact-Jaccard verify only needs set intersection, and 32 bits
@@ -42,6 +43,17 @@ FEATURES_SCHEMA = (
 # the full 64-bit hashes.
 
 _LATTICE_TAGS = (np.uint64(0x9E2F), np.uint64(0xB7E1))
+
+
+def thin_minimizers(h: np.ndarray, w: int) -> np.ndarray:
+    """B4 minimizer selection (minimization.cpp:158-171 precedent): the min
+    hash of each window of w consecutive positions.  Near-identical
+    sequences pick near-identical minimizers (the windows slide together),
+    so pairwise Jaccard is preserved while volume drops ~2/(w+1) — the
+    shingle-table size lever at 100 TB (README.md:143-163)."""
+    if w <= 1 or h.shape[0] <= w:
+        return h
+    return np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
 
 
 def pcm_shingle_set(data: bytes, codec: str, cfg: Config) -> np.ndarray:
@@ -56,7 +68,8 @@ def pcm_shingle_set(data: bytes, codec: str, cfg: Config) -> np.ndarray:
         )
         packed = H.pack_symbols_u64(sym.astype(np.uint64), cfg.k_pcm, cfg.symbol_bits)
         if packed.shape[0]:
-            parts.append(H.hash_combine(packed, _LATTICE_TAGS[li]))
+            hashes = H.hash_combine(packed, _LATTICE_TAGS[li])
+            parts.append(thin_minimizers(hashes, cfg.pcm_minimizer_w))
     if not parts:
         return np.empty(0, dtype=np.uint64)
     return np.unique(np.concatenate(parts))
@@ -73,21 +86,36 @@ def truncate_shingles(s: np.ndarray) -> np.ndarray:
 
 
 def featurize_pdf(pdf: pd.DataFrame, cfg: Config) -> pd.DataFrame:
-    """clips batch -> features batch (both channels). Pure pandas/numpy."""
+    """clips batch -> features batch (both channels). Pure pandas/numpy.
+
+    Decode failures (corrupt container, unimplemented codec) are PER-CLIP,
+    never task-fatal: the clip gets an empty shingle set and decode_ok=False
+    — empty sets are excluded from banding (bands.explode_bands), so the
+    clip simply can't match on that channel, and the pipeline reports a
+    decode_failed metric instead of dying 100 TB in.  CONSULT's analog:
+    unparseable tokens are skipped, not aborted on (main_search.cpp:770-781).
+    """
     rows_id: list[str] = []
     rows_kind: list[str] = []
+    rows_ok: list[bool] = []
     sets: list[np.ndarray] = []
     has_pcm = "pcm" in cfg.channels
     for t in pdf.itertuples(index=False):
         if has_pcm:
             data = t.bytes if isinstance(t.bytes, bytes) else bytes(t.bytes)
         for kind in cfg.channels:
+            ok = True
             if kind == "pcm":
-                s = pcm_shingle_set(data, t.codec, cfg)
+                try:
+                    s = pcm_shingle_set(data, t.codec, cfg)
+                except (audio.AudioDecodeError, NotImplementedError):
+                    s = np.empty(0, dtype=np.uint64)
+                    ok = False
             else:
                 s = txt_shingle_set(t.transcript, cfg)
             rows_id.append(t.clip_id)
             rows_kind.append(kind)
+            rows_ok.append(ok)
             sets.append(s)
     mh = H.minhash_batch(sets, cfg.n_hashes, cfg.minhash_seed)
     sh = H.simhash_batch(sets, cfg.simhash_bits, cfg.minhash_seed)
@@ -102,6 +130,7 @@ def featurize_pdf(pdf: pd.DataFrame, cfg: Config) -> pd.DataFrame:
             "minhash": list(mh.view(np.int64)),
             "simhash": sh.view(np.int64),
             "bands": list(bh.view(np.int64)),
+            "decode_ok": rows_ok,
         }
     )
 

@@ -36,6 +36,9 @@ def build_index(spark: SparkSession, clips: DataFrame, warehouse_dir: str,
     wh.write(bands_op.salted_capped_buckets(bands, cfg), "lsh_buckets")
     wh.write(bands_op.bucket_stats(bands, cfg), "bucket_stats")
     sink.record_stage(wh.read("lsh_buckets"), "lsh_buckets")
+    from pyspark.sql import functions as F
+
+    sink.add("features", "decode_failed", features.filter(~F.col("decode_ok")).count())
     sink.flush()
     return wh
 

@@ -64,6 +64,11 @@ def run_pipeline(
     wh.write_config()
 
     features = stage("features", lambda: shingle_op.featurize(clips, cfg))
+    # decode failures are per-clip soft errors (empty shingle set); surface
+    # the count as a metric — the per-file (lines, matched) accounting analog
+    from pyspark.sql import functions as F
+
+    sink.add("features", "decode_failed", features.filter(~F.col("decode_ok")).count())
     buckets = stage(
         "buckets",
         lambda: bands_op.salted_capped_buckets(bands_op.explode_bands(features), cfg),

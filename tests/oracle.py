@@ -189,8 +189,12 @@ def pcm_shingles(data: bytes, cfg: Config) -> set[int]:
     out: set[int] = set()
     for li, off in enumerate(offs):
         sym = symbols(log_e, ratios, centroid, cfg, off)
-        for p in pack_windows(sym, cfg.k_pcm, cfg.symbol_bits):
-            out.add(combine(p, LATTICE_TAGS[li]))
+        hs = [combine(p, LATTICE_TAGS[li]) for p in pack_windows(sym, cfg.k_pcm, cfg.symbol_bits)]
+        # B4 minimizer thinning (independent loop form of shingle.thin_minimizers)
+        w = cfg.pcm_minimizer_w
+        if w > 1 and len(hs) > w:
+            hs = [min(hs[i : i + w]) for i in range(len(hs) - w + 1)]
+        out.update(hs)
     return out
 
 
