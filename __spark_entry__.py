@@ -601,6 +601,18 @@ def oracle_sql() -> dict[str, str]:
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
             FROM events
         """,
+        # UDF-only audio stages: the DuckDB twin is the GOLDEN TABLE produced
+        # by the independent numpy oracle (tests/oracle.py — stdlib-wave
+        # decode, python big-int hashing, union-find clustering) over the
+        # same deterministic 200-clip fixture; regenerate with
+        # scripts/gen_audio_oracle.py.  CONSULT precedent: golden end-to-end
+        # outputs as the trusted fixtures (README.md:85-99).
+        "audio_confirmed_pairs": """
+            SELECT * FROM read_parquet('/root/repo/tests/fixtures/oracle_audio_confirmed_pairs.parquet')
+        """,
+        "audio_clusters": """
+            SELECT * FROM read_parquet('/root/repo/tests/fixtures/oracle_audio_clusters.parquet')
+        """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
                    CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
