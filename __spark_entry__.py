@@ -263,6 +263,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_unique_docs(spark, sf):
         return textdedup.unique_docs(_docs(spark, sf))
 
+    def q_probe_matched(spark, sf):
+        return textdedup.probe_matched(_docs(spark, sf))
+
     def q_token_stats(spark, sf):
         return text.token_stats(_docs(spark, sf))
 
@@ -373,6 +376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pair_jaccard": q_pair_jaccard,
         "confirmed_pairs": q_confirmed_pairs,
         "unique_docs": q_unique_docs,
+        "probe_matched": q_probe_matched,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -444,6 +448,39 @@ def oracle_sql() -> dict[str, str]:
             members AS (SELECT doc_a AS doc_id FROM conf UNION SELECT doc_b FROM conf)
             SELECT d.doc_id FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM members)
+        """,
+        "probe_matched": f"""
+            WITH {_BANDS},
+            qb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+            libcap AS (
+              SELECT doc_id, band, band_key,
+                     row_number() OVER (PARTITION BY band, band_key ORDER BY doc_id) AS rn
+              FROM bands WHERE doc_id % 5 <> 0
+            ),
+            cand AS (
+              SELECT q.doc_id AS query_id, l.doc_id AS lib_id, count(*) AS n_bands
+              FROM qb q
+              JOIN (SELECT * FROM libcap WHERE rn <= 8) l
+                ON l.band = q.band AND l.band_key = q.band_key
+              GROUP BY 1, 2
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT c.query_id, c.lib_id, count(*) AS n_inter
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.query_id
+              JOIN sh b ON b.doc_id = c.lib_id AND b.sh = a.sh
+              GROUP BY 1, 2
+            )
+            SELECT c.query_id, c.lib_id, c.n_bands,
+                   CAST(floor(1000000.0 * COALESCE(i.n_inter, 0)
+                        / (nq.n + nl.n - COALESCE(i.n_inter, 0))) AS BIGINT) AS jaccard_micro
+            FROM cand c
+            LEFT JOIN inter i ON i.query_id = c.query_id AND i.lib_id = c.lib_id
+            JOIN cnt nq ON nq.doc_id = c.query_id
+            JOIN cnt nl ON nl.doc_id = c.lib_id
+            WHERE floor(1000000.0 * COALESCE(i.n_inter, 0)
+                        / (nq.n + nl.n - COALESCE(i.n_inter, 0))) >= 500000
         """,
         "token_stats": f"""
             WITH {_TOK}

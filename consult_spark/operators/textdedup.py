@@ -195,6 +195,52 @@ def confirmed_pairs(docs: DataFrame) -> DataFrame:
     return pair_jaccard(docs).filter(F.col("jaccard_micro") >= JACCARD_MICRO_THRESHOLD)
 
 
+def probe_matched(docs: DataFrame, threshold: int = JACCARD_MICRO_THRESHOLD) -> DataFrame:
+    """CONSULT's actual flagship shape — query-vs-library probe
+    (main_search.cpp:810-894) in its SQL-expressible text form: docs with
+    doc_id % 5 == 0 are the query set, the rest are the library; query band
+    rows probe the CAPPED library buckets (the query side is never capped —
+    every query must be answered), survivors are exactly re-scored and
+    classified by the Jaccard threshold.  Output = the matched_clips analog
+    (query_id, lib_id, n_bands, jaccard_micro)."""
+    lib = docs.filter(F.col("doc_id") % 5 != 0)
+    qs = docs.filter(F.col("doc_id") % 5 == 0)
+    hits = (
+        minhash_bands(qs).withColumnsRenamed({"doc_id": "query_id"})
+        .join(
+            capped_buckets(lib).withColumnsRenamed({"doc_id": "lib_id"}).drop("rn"),
+            ["band", "band_key"],
+        )
+    )
+    cand = hits.groupBy("query_id", "lib_id").agg(F.count("*").alias("n_bands"))
+    sh = doc_shingles(docs)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.withColumnsRenamed({"doc_id": "query_id"})
+    b = sh.withColumnsRenamed({"doc_id": "lib_id"})
+    inter = (
+        cand.join(a, "query_id")
+        .join(b, ["lib_id", "sh"])
+        .groupBy("query_id", "lib_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    nq = counts.withColumnsRenamed({"doc_id": "query_id", "n": "n_q"})
+    nl = counts.withColumnsRenamed({"doc_id": "lib_id", "n": "n_l"})
+    return (
+        cand.join(inter, ["query_id", "lib_id"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .join(nq, "query_id")
+        .join(nl, "lib_id")
+        .withColumn(
+            "jaccard_micro",
+            F.floor(
+                1_000_000.0 * F.col("n_inter") / (F.col("n_q") + F.col("n_l") - F.col("n_inter"))
+            ).cast("bigint"),
+        )
+        .filter(F.col("jaccard_micro") >= threshold)
+        .select("query_id", "lib_id", "n_bands", "jaccard_micro")
+    )
+
+
 def unique_docs(docs: DataFrame) -> DataFrame:
     """S13: anti-join — docs with no confirmed dup partner."""
     conf = confirmed_pairs(docs)
