@@ -31,7 +31,6 @@ from ..functions import hashing as H
 
 IMAGES_SCHEMA = "img_id string, bytes binary, width int, height int, format string"
 VIDEOS_SCHEMA = "vid_id string, bytes binary, fps double, dur_ms int, codec string"
-IMG_FEATURES_SCHEMA = "clip_id string, kind string, n_shingles int, shingles array<bigint>"
 
 
 def decode_image(data: bytes, fmt: str, deterministic_fake: bool = False) -> np.ndarray:
@@ -79,19 +78,30 @@ def image_shingles(img: np.ndarray, cfg: Config) -> np.ndarray:
 
 
 def featurize_images(images: DataFrame, cfg: Config, deterministic_fake: bool = False) -> DataFrame:
-    """images table -> (clip_id, kind='img', n_shingles, shingles) — a
-    features fragment consumable by the SAME banding/pair/verify operators
-    as the audio/text channels."""
+    """images table -> FULL features rows (kind='img', FEATURES_SCHEMA:
+    truncated shingles + MinHash + SimHash + bands + decode_ok) — directly
+    consumable by the SAME banding/pair/verify operators as the audio/text
+    channels (the signature block is shared via shingle.signatures_frame).
+    Decode failures are per-image soft errors, like audio."""
+    from .shingle import FEATURES_SCHEMA, signatures_frame
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
+            ids, kinds, sets, oks = [], [], [], []
             for t in pdf.itertuples(index=False):
-                img = decode_image(bytes(t.bytes), t.format, deterministic_fake)
-                s = image_shingles(img, cfg)
-                rows.append((t.img_id, "img", s.shape[0], s.view(np.int64)))
-            yield pd.DataFrame(rows, columns=["clip_id", "kind", "n_shingles", "shingles"])
+                ok = True
+                try:
+                    img = decode_image(bytes(t.bytes), t.format, deterministic_fake)
+                    s = image_shingles(img, cfg)
+                except NotImplementedError:
+                    s = np.empty(0, dtype=np.uint64)
+                    ok = False
+                ids.append(t.img_id)
+                kinds.append("img")
+                sets.append(s)
+                oks.append(ok)
+            yield signatures_frame(ids, kinds, sets, oks, cfg)
 
     return images.select("img_id", "bytes", "format").mapInPandas(
-        run, schema=IMG_FEATURES_SCHEMA
+        run, schema=FEATURES_SCHEMA
     )

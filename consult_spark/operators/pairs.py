@@ -73,8 +73,13 @@ def candidate_pairs(buckets: DataFrame, cfg: Config) -> DataFrame:
     agg = hits.groupBy("clip_a", "clip_b").agg(
         F.sum(F.when(F.col("kind") == "pcm", 1).otherwise(0)).alias("n_bands_pcm"),
         F.sum(F.when(F.col("kind") == "txt", 1).otherwise(0)).alias("n_bands_txt"),
+        F.count("*").alias("n_bands_all"),
     )
     c = cfg.min_common_bands
+    # any channel reaching c qualifies; n_bands_all covers non-pcm/txt
+    # channels (img/vid features ride the same operators)
     return agg.filter(
-        (F.col("n_bands_pcm") >= c) | (F.col("n_bands_txt") >= c)
-    )
+        (F.col("n_bands_pcm") >= c)
+        | (F.col("n_bands_txt") >= c)
+        | ((F.col("n_bands_all") - F.col("n_bands_pcm") - F.col("n_bands_txt")) >= c)
+    ).drop("n_bands_all")

@@ -117,20 +117,29 @@ def featurize_pdf(pdf: pd.DataFrame, cfg: Config) -> pd.DataFrame:
             rows_kind.append(kind)
             rows_ok.append(ok)
             sets.append(s)
+    return signatures_frame(rows_id, rows_kind, sets, rows_ok, cfg)
+
+
+def signatures_frame(ids: list[str], kinds: list[str], sets: list[np.ndarray],
+                     oks: list[bool], cfg: Config) -> pd.DataFrame:
+    """(uint64 shingle sets) -> full FEATURES_SCHEMA pandas frame: truncated
+    verify sets + MinHash + SimHash + band hashes.  Shared by every channel
+    (pcm/txt here, img/vid in operators/multimodal.py) — the signature
+    algebra never depends on where the shingles came from."""
     mh = H.minhash_batch(sets, cfg.n_hashes, cfg.minhash_seed)
     sh = H.simhash_batch(sets, cfg.simhash_bits, cfg.minhash_seed)
     bh = H.band_hashes(mh, cfg.n_bands, cfg.rows_per_band, cfg.band_seed)
     trunc = [truncate_shingles(s) for s in sets]
     return pd.DataFrame(
         {
-            "clip_id": rows_id,
-            "kind": rows_kind,
+            "clip_id": ids,
+            "kind": kinds,
             "n_shingles": [t.shape[0] for t in trunc],
             "shingles": [t.view(np.int32) for t in trunc],
             "minhash": list(mh.view(np.int64)),
             "simhash": sh.view(np.int64),
             "bands": list(bh.view(np.int64)),
-            "decode_ok": rows_ok,
+            "decode_ok": oks,
         }
     )
 

@@ -47,9 +47,10 @@ def stream_featurize(
         features = shingle_op.featurize(batch_df, cfg)
         features.persist()
         features.write.mode("append").parquet(f"{out_dir}/features_stream")
-        # per-batch bucket rows: cap applies within the batch; the periodic
-        # compaction job re-applies the global cap when merging into the
-        # main lsh_buckets table
+        # per-batch bucket rows: the cap holds only WITHIN the batch; run
+        # compact_buckets() periodically to re-apply the global cap — probe
+        # against the compacted `lsh_buckets`, not buckets_stream, or the
+        # cap^2 pair-expansion bound does not hold
         buckets = bands_op.salted_capped_buckets(bands_op.explode_bands(features), cfg)
         buckets.write.mode("append").parquet(f"{out_dir}/buckets_stream")
         features.unpersist()
@@ -60,3 +61,24 @@ def stream_featurize(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_buckets(spark: SparkSession, out_dir: str, cfg: Config | None = None):
+    """Periodic merge-compaction: rebuild the globally-capped `lsh_buckets`
+    table from everything ingested so far.
+
+    buckets_stream rows are capped per micro-batch only — a hot bucket fed
+    by many batches grows unbounded there, voiding the cap^2 pair bound if
+    probed directly.  Recomputing from features_stream (band hashes ride the
+    features rows; no re-decode, no Python stage) restores the exact batch
+    semantics: compact(stream of N batches) == build over the union —
+    deterministic because the cap keeps the cap-smallest clip_ids, not
+    first-arrival (test_streaming pins the equality).
+
+    Returns the compacted buckets DataFrame.
+    """
+    cfg = cfg or Config()
+    features = spark.read.parquet(f"{out_dir}/features_stream")
+    buckets = bands_op.salted_capped_buckets(bands_op.explode_bands(features), cfg)
+    buckets.write.mode("overwrite").parquet(f"{out_dir}/lsh_buckets")
+    return spark.read.parquet(f"{out_dir}/lsh_buckets")

@@ -30,8 +30,19 @@ from consult_spark.operators import verify as verify_op
 
 def search(spark: SparkSession, queries: DataFrame, warehouse_dir: str,
            cfg: Config | None = None) -> dict:
-    wh = Warehouse(spark, warehouse_dir, cfg or Config())
-    cfg = wh.read_config()  # refuse param mismatch (main_search.cpp:164-381)
+    # ADOPT the persisted config (CONSULT reads _meta back and runs with it,
+    # main_search.cpp:164-381) — an index built under any Config is
+    # searchable without the caller reconstructing it; only an explicitly
+    # passed CONFLICTING cfg is refused.
+    probe = Warehouse(spark, warehouse_dir, cfg or Config())
+    stored = Config.from_json(probe.read("config").head()["config_json"])
+    if cfg is not None and cfg.params_hash != stored.params_hash:
+        raise ValueError(
+            f"index built with params_hash={stored.params_hash}, caller "
+            f"explicitly passed {cfg.params_hash}; refusing to mix"
+        )
+    cfg = stored
+    wh = Warehouse(spark, warehouse_dir, cfg, run_id=probe.run_id)
     sink = MetricsSink(wh)
 
     lib_buckets = wh.read("lsh_buckets")
@@ -50,10 +61,17 @@ def search(spark: SparkSession, queries: DataFrame, warehouse_dir: str,
         "n_bands_txt",
     )
     all_features = q_features.unionByName(lib_features).dropDuplicates(["clip_id", "kind"])
-    # transcripts for the suffix-array check come from both sides
-    transcripts = queries.select("clip_id", "transcript").unionByName(
-        wh.read("transcripts")
-    ).dropDuplicates(["clip_id"])
+    # transcripts for the suffix-array check come from whichever sides have
+    # them; a pcm-only index (or pcm-only queries) skips the LCS channel
+    # gracefully instead of failing on a missing table/column
+    empty_tr = spark.createDataFrame([], "clip_id string, transcript string")
+    q_tr = (
+        queries.select("clip_id", "transcript")
+        if "transcript" in queries.columns
+        else empty_tr
+    )
+    lib_tr = wh.read("transcripts") if wh.exists("transcripts") else empty_tr
+    transcripts = q_tr.unionByName(lib_tr).dropDuplicates(["clip_id"])
     confirmed = verify_op.confirm_pairs(pair_shaped, all_features, transcripts, cfg)
 
     matched = confirmed.select(F.col("clip_a").alias("clip_id")).distinct()

@@ -49,3 +49,30 @@ def test_search_rejects_mismatched_config(spark, split_corpus, cfg, tmp_path_fac
     build_index(spark, lib, wh_dir, cfg=cfg)
     with pytest.raises(ValueError):
         search(spark, qry, wh_dir, cfg=Config(bucket_cap=5))
+
+
+def test_search_adopts_stored_config(spark, split_corpus, tmp_path_factory):
+    """An index built under a NON-default Config is searchable with no cfg
+    argument at all — search adopts the persisted config (CONSULT reads
+    _meta back and runs with it, main_search.cpp:164-381)."""
+    from consult_spark.config import Config
+
+    lib, qry, _ = split_corpus
+    wh_dir = str(tmp_path_factory.mktemp("index3"))
+    custom = Config(bucket_cap=48, n_salts=4)
+    build_index(spark, lib, wh_dir, cfg=custom)
+    res = search(spark, qry.limit(20), wh_dir)  # no cfg passed
+    assert res["matched"].count() + res["unmatched"].count() == 20
+
+
+def test_search_pcm_only_index_skips_lcs(spark, split_corpus, tmp_path_factory):
+    """Probe against a pcm-only index (no transcripts table) must not fail —
+    the LCS channel is skipped, pcm verification still classifies."""
+    from consult_spark.config import Config
+
+    lib, qry, _ = split_corpus
+    wh_dir = str(tmp_path_factory.mktemp("index4"))
+    pcm_only = Config(channels=("pcm",))
+    build_index(spark, lib.drop("transcript"), wh_dir, cfg=pcm_only)
+    res = search(spark, qry.drop("transcript").limit(20), wh_dir)
+    assert res["matched"].count() + res["unmatched"].count() == 20

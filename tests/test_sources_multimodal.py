@@ -50,6 +50,16 @@ def test_image_featurize_plumbing(spark, cfg):
     got = {r["clip_id"]: tuple(r["shingles"]) for r in feats.collect()}
     assert got["img_a"] == got["img_b"]
     assert got["img_a"] != got["img_c"]
-    assert feats.schema.simpleString().startswith(
-        "struct<clip_id:string,kind:string,n_shingles:int,shingles:array<bigint>"
-    )
+    # full FEATURES_SCHEMA — directly consumable by the shared operators
+    from consult_spark.operators.shingle import FEATURES_SCHEMA
+    from pyspark.sql.types import _parse_datatype_string
+
+    assert feats.schema == _parse_datatype_string(FEATURES_SCHEMA)
+    # and it actually feeds the shared banding/pair path: the exact-dup
+    # image pair must surface as a candidate
+    from consult_spark.operators import bands as B
+    from consult_spark.operators import pairs as P
+
+    cands = P.candidate_pairs(B.salted_capped_buckets(B.explode_bands(feats), cfg), cfg)
+    pairs = {(r["clip_a"], r["clip_b"]) for r in cands.collect()}
+    assert ("img_a", "img_b") in pairs

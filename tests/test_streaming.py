@@ -4,7 +4,8 @@ from __future__ import annotations
 
 import os
 
-from consult_spark.streaming.ingest import stream_featurize
+from consult_spark.streaming.ingest import compact_buckets, stream_featurize
+from consult_spark.operators import bands as B
 from consult_spark.operators import shingle as SH
 
 
@@ -31,3 +32,20 @@ def test_stream_featurize_matches_batch(spark, corpus_xs, cfg, tmp_path):
     q2 = stream_featurize(spark, clips_dir, out_dir, ckpt, cfg)
     q2.awaitTermination(60)
     assert spark.read.parquet(os.path.join(out_dir, "features_stream")).count() == len(exp)
+
+    # compaction: the globally-capped lsh_buckets must equal a from-scratch
+    # batch build over the same clips (per-batch caps are NOT global — the
+    # hot-clique rows overflow buckets_stream across batches)
+    compacted = compact_buckets(spark, out_dir, cfg)
+    expected = B.salted_capped_buckets(B.explode_bands(batch), cfg)
+    got_rows = sorted(tuple(r) for r in compacted.collect())
+    exp_rows = sorted(tuple(r) for r in expected.collect())
+    assert got_rows == exp_rows
+    # and no bucket exceeds the cap
+    over = (
+        compacted.groupBy("kind", "table_l", "band_hash")
+        .count()
+        .filter(f"count > {cfg.bucket_cap}")
+        .count()
+    )
+    assert over == 0
