@@ -36,8 +36,9 @@ class Warehouse:
         if not self.run_id:
             self.run_id = uuid.uuid4().hex[:12]
         self.use_iceberg = iceberg_available()
-        if not self.use_iceberg:
-            os.makedirs(self.root, exist_ok=True)
+        # manifests live under root in BOTH modes (Iceberg holds the data,
+        # the resume contract still needs its JSON sidecars)
+        os.makedirs(self.root, exist_ok=True)
 
     # ---------------- paths / names ----------------
     def _path(self, name: str) -> str:

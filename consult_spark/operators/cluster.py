@@ -59,30 +59,30 @@ def connected_components(edges: DataFrame, cfg: Config) -> DataFrame:
             .agg(F.min("label").alias("nbr_label"))
             .withColumnsRenamed({"dst": "clip_id"})
         )
+        # carry the pre-round label through the checkpoint so convergence is
+        # a FILTER over already-materialized blocks, not a third join+shuffle
+        # per round (labels only ever decrease, so old != new detects every
+        # change exactly)
         stepped = labels.join(prop, "clip_id", "left").select(
             "clip_id",
+            F.col("label").alias("old_label"),
             F.least("label", F.coalesce("nbr_label", F.col("label"))).alias("label"),
         )
         # 2) pointer jump: label <- label(label)  (path halving)
         lmap = stepped.select(
             F.col("clip_id").alias("label"), F.col("label").alias("label2")
         )
-        new_labels = (
+        checkpointed = (
             stepped.join(lmap, "label", "left")
             .select(
                 "clip_id",
+                "old_label",
                 F.least("label", F.coalesce("label2", F.col("label"))).alias("label"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "clip_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = checkpointed.filter(F.col("label") != F.col("old_label")).limit(1).count()
+        labels = checkpointed.drop("old_label")
         if changed == 0:
             break
     return labels.withColumnsRenamed({"label": "cluster_id"})

@@ -21,6 +21,19 @@ def iceberg_available() -> bool:
     return bool(os.environ.get("CONSULT_SPARK_ICEBERG_JAR"))
 
 
+def iceberg_confs(jar: str, warehouse: str) -> dict[str, str]:
+    """The Iceberg catalog configuration (pure data, unit-testable without a
+    JVM holding the runtime jar): hadoop-type catalog named `local`, tables
+    under local.db.* — the mapping io.Warehouse routes through."""
+    return {
+        "spark.jars": jar,
+        "spark.sql.extensions": "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+        "spark.sql.catalog.local": "org.apache.iceberg.spark.SparkCatalog",
+        "spark.sql.catalog.local.type": "hadoop",
+        "spark.sql.catalog.local.warehouse": warehouse,
+    }
+
+
 def get_spark(
     app_name: str = "consult_spark",
     master: str | None = None,
@@ -58,16 +71,8 @@ def get_spark(
     )
     if iceberg_available():
         warehouse = os.environ.get("CONSULT_SPARK_WAREHOUSE", "/tmp/consult_warehouse")
-        b = (
-            b.config("spark.jars", os.environ["CONSULT_SPARK_ICEBERG_JAR"])
-            .config(
-                "spark.sql.extensions",
-                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
-            )
-            .config("spark.sql.catalog.local", "org.apache.iceberg.spark.SparkCatalog")
-            .config("spark.sql.catalog.local.type", "hadoop")
-            .config("spark.sql.catalog.local.warehouse", warehouse)
-        )
+        for k, v in iceberg_confs(os.environ["CONSULT_SPARK_ICEBERG_JAR"], warehouse).items():
+            b = b.config(k, v)
     if extra_conf:
         for k, v in extra_conf.items():
             b = b.config(k, v)

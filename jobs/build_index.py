@@ -26,7 +26,10 @@ def build_index(spark: SparkSession, clips: DataFrame, warehouse_dir: str,
     wh = Warehouse(spark, warehouse_dir, cfg, run_id=run_id)
     sink = MetricsSink(wh)
     wh.write_config()
-    features = shingle_op.featurize(clips, cfg)
+    # cluster the persisted features by clip_id (file-level locality for the
+    # probe-side verify joins; at real scale this is bucketBy(N, "clip_id") —
+    # docs/SCALE.md "Cluster deployment notes")
+    features = shingle_op.featurize(clips, cfg).repartition("clip_id")
     wh.write(features, "features")
     features = wh.read("features")
     if "transcript" in clips.columns:

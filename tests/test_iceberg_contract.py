@@ -1,0 +1,96 @@
+"""Contract tests for the Iceberg branch (io.py / session.py).
+
+The runtime jar is not in this image, so every integration test runs the
+Parquet fallback; these tests pin the Iceberg code path anyway — the
+catalog conf assembly and the exact writeTo/read.table call sequence the
+Warehouse makes — via stubs, so the branch is not dead untested code.
+README documents the fallback decision."""
+
+from __future__ import annotations
+
+from consult_spark.config import Config
+from consult_spark.io import Warehouse
+from consult_spark.session import iceberg_confs
+
+
+def test_iceberg_conf_assembly():
+    confs = iceberg_confs("/opt/jars/iceberg-runtime.jar", "/data/warehouse")
+    assert confs["spark.jars"] == "/opt/jars/iceberg-runtime.jar"
+    assert confs["spark.sql.catalog.local"] == "org.apache.iceberg.spark.SparkCatalog"
+    assert confs["spark.sql.catalog.local.type"] == "hadoop"
+    assert confs["spark.sql.catalog.local.warehouse"] == "/data/warehouse"
+    assert "IcebergSparkSessionExtensions" in confs["spark.sql.extensions"]
+
+
+class _Calls:
+    def __init__(self):
+        self.log: list[tuple] = []
+
+
+class _FakeWriteTo:
+    def __init__(self, calls, table):
+        self.calls, self.table = calls, table
+
+    def createOrReplace(self):
+        self.calls.log.append(("createOrReplace", self.table))
+
+
+class _FakeDF:
+    def __init__(self, calls):
+        self.calls = calls
+
+    def writeTo(self, table):
+        self.calls.log.append(("writeTo", table))
+        return _FakeWriteTo(self.calls, table)
+
+
+class _FakeRead:
+    def __init__(self, calls):
+        self.calls = calls
+
+    def table(self, name):
+        self.calls.log.append(("read.table", name))
+
+        class _T:
+            def count(self_inner):
+                return 7
+
+        return _T()
+
+
+class _FakeSpark:
+    def __init__(self, calls):
+        self.read = _FakeRead(calls)
+
+
+def test_warehouse_routes_through_iceberg_tables(tmp_path, monkeypatch):
+    """With the jar env set, Warehouse.write must go through
+    writeTo(local.db.<name>).createOrReplace() and read through
+    spark.read.table — never the parquet path."""
+    monkeypatch.setenv("CONSULT_SPARK_ICEBERG_JAR", "/opt/jars/iceberg-runtime.jar")
+    calls = _Calls()
+    wh = Warehouse(_FakeSpark(calls), str(tmp_path / "wh"), Config())
+    assert wh.use_iceberg
+
+    n = wh.write(_FakeDF(calls), "features")
+    assert n == 7
+    wh.read("features")
+    assert calls.log == [
+        ("writeTo", "local.db.features"),
+        ("createOrReplace", "local.db.features"),
+        ("read.table", "local.db.features"),  # manifest row count
+        ("read.table", "local.db.features"),
+    ]
+    # the manifest contract (resumability) is written in both modes
+    m = wh.manifest("features")
+    assert m["rows"] == 7 and m["params_hash"] == Config().params_hash
+
+
+def test_warehouse_parquet_fallback_without_jar(monkeypatch):
+    monkeypatch.delenv("CONSULT_SPARK_ICEBERG_JAR", raising=False)
+    calls = _Calls()
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        wh = Warehouse(_FakeSpark(calls), d, Config())
+        assert not wh.use_iceberg
