@@ -160,8 +160,15 @@ def candidate_pairs(docs: DataFrame) -> DataFrame:
 
 
 def pair_jaccard(docs: DataFrame) -> DataFrame:
-    """S9: exact Jaccard re-score of candidates -> jaccard_micro BIGINT."""
-    cand = candidate_pairs(docs)
+    """S9: exact Jaccard re-score of candidates -> jaccard_micro BIGINT.
+
+    The candidate set is referenced twice below (intersection probe + final
+    join); Catalyst does not reuse the exchange across the differing
+    projections, so without materialization the whole shingle->minhash->
+    bands->cap subtree (and its source scan) runs twice.  localCheckpoint is
+    safe at any scale: candidates are structurally bounded by the bucket cap
+    (<= n_buckets * cap^2/2 rows of three scalars)."""
+    cand = candidate_pairs(docs).localCheckpoint(eager=False)
     sh = doc_shingles(docs)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.withColumnsRenamed({"doc_id": "doc_a"})

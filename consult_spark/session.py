@@ -69,6 +69,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("CONSULT_SPARK_DRIVER_MEM", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # local mode funnels every shuffle through ONE scratch disk — an
+    # artifact real clusters don't have (executors spread over many
+    # disks/NVMe).  Use tmpfs when present so shuffle write bandwidth scales
+    # with cores the way a cluster's aggregate disk bandwidth does.
+    if os.path.isdir("/dev/shm") and master.startswith("local"):
+        scratch = os.environ.get("CONSULT_SPARK_LOCAL_DIR", "/dev/shm/spark_scratch")
+        os.makedirs(scratch, exist_ok=True)
+        b = b.config("spark.local.dir", scratch)
     if iceberg_available():
         warehouse = os.environ.get("CONSULT_SPARK_WAREHOUSE", "/tmp/consult_warehouse")
         for k, v in iceberg_confs(os.environ["CONSULT_SPARK_ICEBERG_JAR"], warehouse).items():
