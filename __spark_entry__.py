@@ -269,6 +269,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_token_stats(spark, sf):
         return text.token_stats(_docs(spark, sf))
 
+    def q_bpe_token_stats(spark, sf):
+        return text.bpe_token_stats(_docs(spark, sf))
+
     def q_quality_scores(spark, sf):
         return text.quality_scores(_docs(spark, sf))
 
@@ -378,6 +381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_docs": q_unique_docs,
         "probe_matched": q_probe_matched,
         "token_stats": q_token_stats,
+        "bpe_token_stats": q_bpe_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
         "simhash16": q_simhash16,
@@ -489,6 +493,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(length(tok)) AS BIGINT) AS n_token_chars,
                    min(tok) AS first_token
             FROM tok GROUP BY doc_id
+        """,
+        "bpe_token_stats": """
+            WITH bt AS (
+              SELECT doc_id, t.tok
+              FROM documents,
+                   unnest(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+')) AS t(tok)
+            )
+            SELECT doc_id, count(*) AS n_bpe_tokens,
+                   count(DISTINCT tok) AS n_distinct_bpe,
+                   CAST(sum(length(tok)) AS BIGINT) AS n_bpe_chars,
+                   min(tok) AS first_bpe_token
+            FROM bt GROUP BY doc_id
         """,
         "quality_scores": f"""
             WITH {_TOK},

@@ -49,6 +49,30 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer shape, restricted to the regex subset Java
+# (Spark) and RE2 (DuckDB) evaluate identically: no lookahead, no unicode
+# property classes.  Letter runs, digit runs, punctuation runs — each with
+# an optional leading space, the BPE merge-input convention.
+BPE_PRETOKEN_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting, BPE-ish: pre-tokenize with the regex above (the
+    merge-input segmentation a byte-pair encoder starts from) and report
+    per-doc counts — the subword-budget estimate a training-data pipeline
+    runs before the real tokenizer."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.col("text"), F.lit(BPE_PRETOKEN_RE), 0)).alias("tok"),
+    )
+    return toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_bpe_tokens"),
+        F.countDistinct("tok").alias("n_distinct_bpe"),
+        F.sum(F.length("tok")).alias("n_bpe_chars"),
+        F.min("tok").alias("first_bpe_token"),
+    )
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Quality scoring: length, punctuation ratio, stopword ratio,
     mean token length — all *_micro BIGINT."""
