@@ -192,7 +192,10 @@ def run_default(sf_dir: str) -> dict:
     import __spark_entry__ as E
 
     qs = E.queries()
-    bench_queries = ("confirmed_pairs", "cosine_topk", "ann_lsh_topk", "simhash16")
+    bench_queries = (
+        "confirmed_pairs", "cosine_topk", "ann_lsh_topk", "simhash16",
+        "ann_near_dup_lsh", "probe_matched",
+    )
     # warm each query once at the tiny sf so the single-shot timing below
     # measures the steady-state plan, not JVM codegen/JIT compilation
     # (measured: first execution is 5-10x the steady state)
