@@ -59,9 +59,15 @@ def probe_candidates(query_bands: DataFrame, lib_buckets: DataFrame, cfg: Config
     agg = hits.groupBy("query_id", "lib_id").agg(
         F.sum(F.when(F.col("kind") == "pcm", 1).otherwise(0)).alias("n_bands_pcm"),
         F.sum(F.when(F.col("kind") == "txt", 1).otherwise(0)).alias("n_bands_txt"),
+        F.count("*").alias("n_bands_all"),
     )
     c = cfg.min_common_bands
-    return agg.filter((F.col("n_bands_pcm") >= c) | (F.col("n_bands_txt") >= c))
+    # any channel reaching c qualifies (img/vid features probe the same way)
+    return agg.filter(
+        (F.col("n_bands_pcm") >= c)
+        | (F.col("n_bands_txt") >= c)
+        | ((F.col("n_bands_all") - F.col("n_bands_pcm") - F.col("n_bands_txt")) >= c)
+    ).drop("n_bands_all")
 
 
 def candidate_pairs(buckets: DataFrame, cfg: Config) -> DataFrame:
