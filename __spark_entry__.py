@@ -368,6 +368,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return ann_op.near_dup_pairs_lsh(_emb(spark, sf))
 
+    def q_ann_ivf_topk(spark, sf):
+        from consult_spark.operators import ann as ann_op
+
+        return ann_op.ivf_topk(_emb(spark, sf))
+
     return {
         "shingle_stats": q_shingle_stats,
         "minimizer_thin": q_minimizer_thin,
@@ -395,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_clusters": q_audio_clusters,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_near_dup_lsh": q_ann_near_dup_lsh,
+        "ann_ivf_topk": q_ann_ivf_topk,
     }
 
 
@@ -653,6 +659,41 @@ def oracle_sql() -> dict[str, str]:
                         OVER (PARTITION BY user_id ORDER BY event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
             FROM events
+        """,
+        "ann_ivf_topk": f"""
+            WITH {_QEMB}, {_COMP},
+            anchors AS (
+              SELECT m, i,
+                     CASE WHEN substring(md5('501:' || CAST(m AS VARCHAR) || ':0:' || CAST(i AS VARCHAR)), 1, 1)
+                          IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END AS s
+              FROM generate_series(0, 31) mm(m), generate_series(0, 63) ii(i)
+            ),
+            dots AS (
+              SELECT c.vec_id, a.m, sum(c.v * a.s) AS d
+              FROM comp c JOIN anchors a ON a.i = c.i
+              GROUP BY 1, 2
+            ),
+            cellr AS (
+              SELECT vec_id, m,
+                     row_number() OVER (PARTITION BY vec_id ORDER BY d DESC, m ASC) AS rn
+              FROM dots
+            ),
+            probe AS (SELECT vec_id, CAST(m AS BIGINT) AS cell FROM cellr WHERE rn <= 4),
+            lib AS (SELECT vec_id, CAST(m AS BIGINT) AS cell FROM cellr WHERE rn = 1),
+            scores AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_SIM_MICRO_SQL} AS sim_micro
+              FROM probe a
+              JOIN lib b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+              JOIN qn qa ON qa.vec_id = a.vec_id
+              JOIN qn qb ON qb.vec_id = b.vec_id
+            ),
+            ranked AS (
+              SELECT vec_a, vec_b, sim_micro,
+                     row_number() OVER (PARTITION BY vec_a ORDER BY sim_micro DESC, vec_b ASC) AS rank
+              FROM scores
+            )
+            SELECT vec_a, vec_b, sim_micro, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 3
         """,
         # UDF-only audio stages: the DuckDB twin is the GOLDEN TABLE produced
         # by the independent numpy oracle (tests/oracle.py — stdlib-wave

@@ -308,6 +308,83 @@ def near_dup_pairs_lsh(emb: DataFrame, threshold_micro: int = 400_000,
     )
 
 
+def ivf_assign(emb: DataFrame, n_cells: int = 32, seed: int = 0x1F5, dim: int = 64,
+               nprobe: int = 1) -> DataFrame:
+    """IVF coarse quantizer with FIXED deterministic anchors: anchors are
+    md5-derived ±1 vectors (the _signs_matrix construction, one anchor per
+    'band'); a vector's cells are its nprobe highest-dot anchors.  No Lloyd
+    refinement — fixed random anchors are the engine-portable stand-in for
+    k-means centroids (the partition geometry is identical in kind: Voronoi
+    cells of K directions), which lets the DuckDB oracle reconstruct the
+    assignment exactly instead of trusting a black-box clustering.
+    Ties break toward the smallest anchor index (stable argsort).
+    Returns (vec_id, cell, probe_rank 1..nprobe)."""
+    import numpy as np
+
+    anchors = _signs_matrix(n_cells, 1, dim, seed)  # (n_cells, dim)
+    qdf = quantized(emb)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            dots = m @ anchors.T  # (n, n_cells)
+            top = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nprobe),
+                    "cell": top.reshape(-1).astype(np.int64),
+                    "probe_rank": np.tile(np.arange(1, nprobe + 1, dtype=np.int64), n),
+                }
+            )
+
+    return qdf.select("vec_id", "q").mapInPandas(
+        run, schema="vec_id bigint, cell bigint, probe_rank bigint"
+    )
+
+
+def ivf_topk(emb: DataFrame, k: int = 3, n_cells: int = 32, seed: int = 0x1F5,
+             nprobe: int = 4) -> DataFrame:
+    """IVF-flat approximate top-k: the query side probes its nprobe nearest
+    cells, the library side is indexed in its single nearest cell, exact
+    integer scoring within collisions.  Third point on the scale ladder:
+    brute (cosine_topk) / hyperplane-LSH (lsh_bucketed_topk) / IVF cells —
+    expected candidate volume nprobe * n / n_cells per query, no collect,
+    no cartesian.
+
+    Catch probability for a true neighbor (measured, 32 cells / 64 dims,
+    nprobe=4): cosine 0.90 -> 0.90, 0.95 -> 0.96, 0.99 -> 0.997 (pinned by
+    test_ann_ivf).  On structureless uniform vectors any partition-based
+    ANN has low recall by construction — the exact baseline is cosine_topk."""
+    probe = ivf_assign(emb, n_cells=n_cells, seed=seed, nprobe=nprobe)
+    lib = probe.filter(F.col("probe_rank") == 1)
+    q = quantized(emb)
+    a = (
+        probe.join(q, "vec_id")
+        .select("cell", F.col("vec_id").alias("vec_a"), F.col("q").alias("q_a"), F.col("norm_q").alias("na"))
+    )
+    b = (
+        lib.join(q, "vec_id")
+        .select("cell", F.col("vec_id").alias("vec_b"), F.col("q").alias("q_b"), F.col("norm_q").alias("nb"))
+    )
+    scores = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .withColumn("sim_micro", _sim_micro())
+        .select("vec_a", "vec_b", "sim_micro")
+    )
+    w = Window.partitionBy("vec_a").orderBy(F.col("sim_micro").desc(), F.col("vec_b").asc())
+    return (
+        scores.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("vec_a", "vec_b", "sim_micro", "rank")
+    )
+
+
 def lsh_bucketed_topk(emb: DataFrame, k: int = 3, n_planes: int = 12) -> DataFrame:
     """Approximate top-k: exact scoring restricted to same-bucket candidates.
     At 10^12 rows this replaces the O(n^2) cross join with a per-bucket
