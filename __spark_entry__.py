@@ -112,6 +112,29 @@ qn AS (
 )
 """
 
+# shared quality-score CTE (composes after _TOK): mirrors text.quality_scores
+_QUALITY = """
+ta AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN tok IN ('the','and','of','to','a','in','is','it','for','on') THEN 1 ELSE 0 END) AS n_stop,
+         sum(length(tok)) AS tok_chars
+  FROM tok GROUP BY doc_id
+),
+base AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_total,
+         CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+  FROM documents
+),
+quality AS (
+  SELECT b.doc_id, b.n_chars_total,
+         CAST(COALESCE(ta.n_tokens, 0) AS BIGINT) AS n_tokens,
+         CAST(floor(1000000.0 * b.n_punct / greatest(b.n_chars_total, 1)) AS BIGINT) AS punct_ratio_micro,
+         CAST(floor(1000000.0 * COALESCE(ta.n_stop, 0) / greatest(COALESCE(ta.n_tokens, 0), 1)) AS BIGINT) AS stop_ratio_micro,
+         CAST(floor(1000000.0 * COALESCE(ta.tok_chars, 0) / greatest(COALESCE(ta.n_tokens, 0), 1)) AS BIGINT) AS mean_token_len_micro
+  FROM base b LEFT JOIN ta ON ta.doc_id = b.doc_id
+)
+"""
+
 # hyperplane-LSH twins: reconstruct the engine's md5-derived ±1 planes
 # (ann._hyperplane_signs / ann._signs_matrix) in SQL.  Components are
 # 0-indexed in the md5 key; DuckDB lists are 1-indexed, hence i-1 in comp.
@@ -278,6 +301,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_lang_id(spark, sf):
         return text.lang_id(spark, _docs(spark, sf))
 
+    def q_quality_filter(spark, sf):
+        return text.quality_filter(_docs(spark, sf))
+
+    def q_corpus_stats(spark, sf):
+        return text.corpus_stats(spark, _docs(spark, sf))
+
     def q_simhash16(spark, sf):
         return text.simhash16(_docs(spark, sf))
 
@@ -389,6 +418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_stats": q_bpe_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
+        "quality_filter": q_quality_filter,
+        "corpus_stats": q_corpus_stats,
         "simhash16": q_simhash16,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "doc_fingerprints": q_doc_fingerprints,
@@ -512,25 +543,40 @@ def oracle_sql() -> dict[str, str]:
                    min(tok) AS first_bpe_token
             FROM bt GROUP BY doc_id
         """,
-        "quality_scores": f"""
-            WITH {_TOK},
-            ta AS (
-              SELECT doc_id, count(*) AS n_tokens,
-                     sum(CASE WHEN tok IN ('the','and','of','to','a','in','is','it','for','on') THEN 1 ELSE 0 END) AS n_stop,
-                     sum(length(tok)) AS tok_chars
-              FROM tok GROUP BY doc_id
+        "quality_scores": f"WITH {_TOK}, {_QUALITY} SELECT * FROM quality",
+        "quality_filter": f"""
+            WITH {_TOK}, {_QUALITY}
+            SELECT * FROM quality
+            WHERE n_tokens >= 20
+              AND punct_ratio_micro <= 300000
+              AND stop_ratio_micro <= 90000
+              AND mean_token_len_micro BETWEEN 4300000 AND 4750000
+        """,
+        "corpus_stats": f"""
+            WITH {_TOK}, {_LANG_MARKERS_SQL},
+            scores AS (
+              SELECT t.doc_id, m.lang_cand, count(*) AS hits
+              FROM tok t JOIN markers m ON m.tok = t.tok
+              GROUP BY 1, 2
             ),
-            base AS (
-              SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_total,
-                     CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
-              FROM documents
+            best AS (
+              SELECT doc_id, lang_cand,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang_cand ASC) AS rn
+              FROM scores
+            ),
+            langs AS (
+              SELECT d.doc_id, COALESCE(b.lang_cand, 'unknown') AS lang_pred
+              FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = d.doc_id
+            ),
+            ts AS (
+              SELECT doc_id, count(*) AS n_tokens, sum(length(tok)) AS n_token_chars
+              FROM tok GROUP BY doc_id
             )
-            SELECT b.doc_id, b.n_chars_total,
-                   CAST(COALESCE(ta.n_tokens, 0) AS BIGINT) AS n_tokens,
-                   CAST(floor(1000000.0 * b.n_punct / greatest(b.n_chars_total, 1)) AS BIGINT) AS punct_ratio_micro,
-                   CAST(floor(1000000.0 * COALESCE(ta.n_stop, 0) / greatest(COALESCE(ta.n_tokens, 0), 1)) AS BIGINT) AS stop_ratio_micro,
-                   CAST(floor(1000000.0 * COALESCE(ta.tok_chars, 0) / greatest(COALESCE(ta.n_tokens, 0), 1)) AS BIGINT) AS mean_token_len_micro
-            FROM base b LEFT JOIN ta ON ta.doc_id = b.doc_id
+            SELECT l.lang_pred, count(*) AS n_docs,
+                   CAST(sum(COALESCE(ts.n_tokens, 0)) AS BIGINT) AS total_tokens,
+                   CAST(sum(COALESCE(ts.n_token_chars, 0)) AS BIGINT) AS total_token_chars
+            FROM langs l LEFT JOIN ts ON ts.doc_id = l.doc_id
+            GROUP BY l.lang_pred
         """,
         "lang_id": f"""
             WITH {_TOK}, {_LANG_MARKERS_SQL},

@@ -138,6 +138,45 @@ def lang_id(spark, docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    max_punct_micro: int = 300_000,
+    max_stop_micro: int = 90_000,
+    min_mean_tok_micro: int = 4_300_000,
+    max_mean_tok_micro: int = 4_750_000,
+) -> DataFrame:
+    """The act of filtering, not just scoring: documents surviving the
+    standard quality gates (enough tokens, bounded punctuation density,
+    bounded stopword ratio, plausible mean token length) — the rows a
+    training run would actually keep.  Passing rows only, scores attached."""
+    q = quality_scores(docs)
+    return q.filter(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("punct_ratio_micro") <= max_punct_micro)
+        & (F.col("stop_ratio_micro") <= max_stop_micro)
+        & (F.col("mean_token_len_micro") >= min_mean_tok_micro)
+        & (F.col("mean_token_len_micro") <= max_mean_tok_micro)
+    )
+
+
+def corpus_stats(spark, docs: DataFrame) -> DataFrame:
+    """Corpus composition report: per predicted language, document count and
+    token/char volume — the before/after accounting every training-data
+    pipeline keeps."""
+    langs = lang_id(spark, docs)
+    toks = token_stats(docs)
+    return (
+        langs.join(toks, "doc_id", "left")
+        .groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce("n_tokens", F.lit(0))).alias("total_tokens"),
+            F.sum(F.coalesce("n_token_chars", F.lit(0))).alias("total_token_chars"),
+        )
+    )
+
+
 def simhash16(docs: DataFrame) -> DataFrame:
     """16-bit SimHash over distinct tokens, portable construction: bit j is
     the majority vote of md5(token) hex-nibble j's high bit (nibble in 8..f).
