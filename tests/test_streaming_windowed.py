@@ -1,0 +1,59 @@
+"""Watermark + tumbling-window streaming agg: finalized windows are emitted
+exactly once and a later-than-watermark event is dropped, not double-counted.
+
+Each file is processed by its own availableNow run (the checkpointed
+watermark carries across runs), making the batch boundaries — and therefore
+the watermark advancement — deterministic regardless of file mtimes."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime
+
+import pandas as pd
+
+from consult_spark.streaming.windowed import EVENTS_SCHEMA, stream_windowed_counts
+
+
+def _append(spark, events_dir, rows):
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "value"])
+    spark.createDataFrame(pdf, EVENTS_SCHEMA).coalesce(1).write.mode("append").parquet(events_dir)
+
+
+def test_windowed_counts_drop_late_events(spark, tmp_path):
+    events_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t = lambda m, s: datetime(2026, 1, 1, 10, m, s)  # noqa: E731
+
+    def run():
+        q = stream_windowed_counts(spark, events_dir, out_dir, ckpt, max_files_per_trigger=16)
+        q.awaitTermination(120)
+
+    # run 1: two events in window 10:00 -> watermark 9:58:20, nothing emitted
+    _append(spark, events_dir, [(1, 1, t(0, 10), 1.0), (2, 1, t(0, 20), 2.0)])
+    run()
+    # run 2: event at 10:05 -> watermark advances to 10:03 (end of run)
+    _append(spark, events_dir, [(3, 1, t(5, 0), 4.0)])
+    run()
+    # run 3: a LATE event for 10:00 (ts < watermark 10:03 -> dropped) plus an
+    # event at 10:10; the 10:00 window (end 10:01 <= 10:03) finalizes & emits
+    _append(spark, events_dir, [(4, 1, t(0, 30), 100.0), (5, 1, t(10, 0), 8.0)])
+    run()
+    # run 4: fresh event pushes the watermark so the 10:05 window emits
+    _append(spark, events_dir, [(6, 2, t(15, 0), 16.0)])
+    run()
+
+    got = {
+        (r["window_start"].minute, r["user_id"]): (r["n_events"], r["sum_cents"])
+        for r in spark.read.parquet(os.path.join(out_dir, "windowed")).collect()
+    }
+    # 10:00 window: exactly the two on-time events — the late 100.0 event
+    # was dropped, not re-emitted or double-counted
+    assert got[(0, 1)] == (2, 300)
+    # 10:05 window finalized by the 10:10 event's watermark advance
+    assert got[(5, 1)] == (1, 400)
+    # 10:10 emitted by run 4's no-data flush batch (availableNow drains
+    # state eligible under the final watermark 10:13); 10:15 still open
+    assert got[(10, 1)] == (1, 800)
+    assert (15, 2) not in got
