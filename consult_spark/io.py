@@ -48,13 +48,26 @@ class Warehouse:
         return os.path.join(self.root, f"_manifest_{name}.json")
 
     # ---------------- read / write ----------------
-    def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> int:
+    def write(self, df: DataFrame, name: str, mode: str = "overwrite",
+              partition_by: tuple[str, ...] = ()) -> int:
+        """partition_by: hive-style partition columns (Iceberg: identity
+        partition spec) — readers filtering on them get partition PRUNING,
+        not just row-group skipping (e.g. features by `kind`: each verify
+        channel reads half the table; plan-asserted in test_plans)."""
         t0 = time.time()
         if self.use_iceberg:
-            df.writeTo(f"local.db.{name}").createOrReplace()
+            w = df.writeTo(f"local.db.{name}")
+            if partition_by:
+                from pyspark.sql import functions as F
+
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()
             n = self.spark.read.table(f"local.db.{name}").count()
         else:
-            df.write.mode(mode).parquet(self._path(name))
+            w = df.write.mode(mode)
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(self._path(name))
             n = self.spark.read.parquet(self._path(name)).count()
         manifest = {
             "table": name,

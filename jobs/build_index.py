@@ -26,11 +26,12 @@ def build_index(spark: SparkSession, clips: DataFrame, warehouse_dir: str,
     wh = Warehouse(spark, warehouse_dir, cfg, run_id=run_id)
     sink = MetricsSink(wh)
     wh.write_config()
-    # cluster the persisted features by clip_id (file-level locality for the
-    # probe-side verify joins; at real scale this is bucketBy(N, "clip_id") —
+    # partitioned by channel (readers prune on kind) and clustered by
+    # clip_id within partitions (file-level locality for the probe-side
+    # verify joins; at real scale this is bucketBy(N, "clip_id") —
     # docs/SCALE.md "Cluster deployment notes")
-    features = shingle_op.featurize(clips, cfg).repartition("clip_id")
-    wh.write(features, "features")
+    features = shingle_op.featurize(clips, cfg).repartition("kind", "clip_id")
+    wh.write(features, "features", partition_by=("kind",))
     features = wh.read("features")
     if "transcript" in clips.columns:
         # verify payload for the suffix-array check in probe mode

@@ -48,14 +48,14 @@ def run_pipeline(
     sink = MetricsSink(wh)
     timings: dict[str, float] = {}
 
-    def stage(name: str, build) -> DataFrame:
+    def stage(name: str, build, partition_by: tuple[str, ...] = ()) -> DataFrame:
         """Materialize a stage unless an up-to-date manifest allows a skip."""
         if resume and wh.exists(name):
             timings[name] = 0.0
             return wh.read(name)
         t0 = time.time()
         df = build()
-        n = wh.write(df, name)
+        n = wh.write(df, name, partition_by=partition_by)
         timings[name] = time.time() - t0
         out = wh.read(name)
         sink.record_stage(out, name, {"rows": n, "wall_sec": timings[name]})
@@ -63,7 +63,10 @@ def run_pipeline(
 
     wh.write_config()
 
-    features = stage("features", lambda: shingle_op.featurize(clips, cfg))
+    # features partitioned by channel: every downstream reader filters on
+    # kind, so the scan prunes whole partitions (plan-asserted)
+    features = stage("features", lambda: shingle_op.featurize(clips, cfg),
+                     partition_by=("kind",))
     # decode failures are per-clip soft errors (empty shingle set); surface
     # the count as a metric — the per-file (lines, matched) accounting analog
     from pyspark.sql import functions as F

@@ -77,6 +77,27 @@ def test_near_dup_paths_have_no_cartesian(spark):
     assert not plan_properties(ann.near_dup_pairs_lsh(emb))["has_cartesian"]
 
 
+def test_features_partition_pruning(spark, clips_parquet, cfg, tmp_path):
+    """features written partitionBy(kind): a kind-filtered read must prune
+    at the PARTITION level (PartitionFilters in the scan), not just
+    row-group skip."""
+    from consult_spark.config import Config
+    from consult_spark.io import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), Config())
+    wh.write(SH.featurize(clips_parquet, cfg), "features", partition_by=("kind",))
+    scan = wh.read("features").filter(F.col("kind") == "pcm")
+    plan = scan._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[(.*?)\]", plan).group(1)
+    assert "kind" in pf and pf.strip() != ""
+    assert scan.count() == clips_parquet.count()  # one row per clip for pcm
+
+
 def test_near_dup_lsh_matches_exact_on_collisions(spark):
     """Every LSH-path pair must appear in the exact path's output with the
     identical sim_micro (the LSH path is a candidate-restriction, never a
