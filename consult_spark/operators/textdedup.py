@@ -219,7 +219,11 @@ def probe_matched(docs: DataFrame, threshold: int = JACCARD_MICRO_THRESHOLD) -> 
             ["band", "band_key"],
         )
     )
-    cand = hits.groupBy("query_id", "lib_id").agg(F.count("*").alias("n_bands"))
+    cand = (
+        hits.groupBy("query_id", "lib_id")
+        .agg(F.count("*").alias("n_bands"))
+        .localCheckpoint(eager=False)  # referenced twice below, same as pair_jaccard
+    )
     sh = doc_shingles(docs)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.withColumnsRenamed({"doc_id": "query_id"})
