@@ -32,17 +32,55 @@ class AudioDecodeError(ValueError):
     pass
 
 
+def _decode_mulaw(body: np.ndarray) -> np.ndarray:
+    """G.711 mu-law bytes -> float32 in [-1, 1] (vectorized standard expansion)."""
+    u = (~body).astype(np.uint8)
+    sign = (u & 0x80) != 0
+    exponent = ((u >> 4) & 0x07).astype(np.int32)
+    mantissa = (u & 0x0F).astype(np.int32)
+    sample = (((mantissa << 3) + 0x84) << exponent) - 0x84
+    return np.where(sign, -sample, sample).astype(np.float32) / 32768.0
+
+
+def _decode_alaw(body: np.ndarray) -> np.ndarray:
+    """G.711 A-law bytes -> float32 in [-1, 1].  Per ITU G.711, after the
+    0x55 toggle the MSB set means POSITIVE (opposite of mu-law)."""
+    a = (body ^ np.uint8(0x55)).astype(np.uint8)
+    positive = (a & 0x80) != 0
+    exponent = ((a >> 4) & 0x07).astype(np.int32)
+    mantissa = (a & 0x0F).astype(np.int32)
+    sample = np.where(
+        exponent > 0,
+        ((mantissa << 4) + 0x108) << np.maximum(exponent - 1, 0),
+        (mantissa << 4) + 8,
+    )
+    return np.where(positive, sample, -sample).astype(np.float32) / 32768.0
+
+
+# WAVE_FORMAT tags decodable with numpy alone (no codec libraries)
+_WAV_FMT_PCM = 1
+_WAV_FMT_FLOAT = 3
+_WAV_FMT_ALAW = 6
+_WAV_FMT_MULAW = 7
+
+
 def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
-    """Parse a RIFF/WAV container with PCM16 samples -> (float32 mono in
-    [-1, 1], sample_rate).  Chunk-walking parser (not fixed 44-byte offset)
-    so extra chunks (LIST/fact) don't break it."""
+    """Parse a RIFF/WAV container -> (float32 mono in [-1, 1], sample_rate).
+    Chunk-walking parser (not fixed 44-byte offset) so extra chunks
+    (LIST/fact) don't break it.
+
+    Sample formats decoded (all pure numpy — the codec zoo a WAV corpus
+    actually contains): PCM16, PCM8-unsigned, IEEE float32, and the G.711
+    telephony pair (mu-law / A-law).  Compressed codecs (mp3/opus/...) are
+    not WAV sample formats and stay behind decode_clip's stub."""
     if len(data) < 12 or data[:4] != _RIFF or data[8:12] != _WAVE:
         raise AudioDecodeError("not a RIFF/WAVE container")
     pos = 12
     sr = None
     n_channels = None
     bits = None
-    pcm = None
+    fmt_tag = None
+    raw = None
     n = len(data)
     while pos + 8 <= n:
         cid = data[pos : pos + 4]
@@ -53,14 +91,23 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
             n_channels = int.from_bytes(body[2:4], "little")
             sr = int.from_bytes(body[4:8], "little")
             bits = int.from_bytes(body[14:16], "little")
-            if fmt_tag != 1 or bits != 16:
-                raise AudioDecodeError(f"unsupported wav fmt tag={fmt_tag} bits={bits}")
         elif cid == b"data":
-            pcm = np.frombuffer(body[: csize - (csize % 2)], dtype="<i2")
+            raw = body
         pos += 8 + csize + (csize % 2)  # chunks are word-aligned
-    if sr is None or pcm is None:
+    if sr is None or raw is None:
         raise AudioDecodeError("missing fmt/data chunk")
-    x = pcm.astype(np.float32) / 32768.0
+    if fmt_tag == _WAV_FMT_PCM and bits == 16:
+        x = np.frombuffer(raw[: len(raw) - (len(raw) % 2)], dtype="<i2").astype(np.float32) / 32768.0
+    elif fmt_tag == _WAV_FMT_PCM and bits == 8:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif fmt_tag == _WAV_FMT_FLOAT and bits == 32:
+        x = np.frombuffer(raw[: len(raw) - (len(raw) % 4)], dtype="<f4").astype(np.float32)
+    elif fmt_tag == _WAV_FMT_MULAW and bits == 8:
+        x = _decode_mulaw(np.frombuffer(raw, dtype=np.uint8))
+    elif fmt_tag == _WAV_FMT_ALAW and bits == 8:
+        x = _decode_alaw(np.frombuffer(raw, dtype=np.uint8))
+    else:
+        raise AudioDecodeError(f"unsupported wav fmt tag={fmt_tag} bits={bits}")
     if n_channels and n_channels > 1:
         usable = (x.shape[0] // n_channels) * n_channels
         x = x[:usable].reshape(-1, n_channels).mean(axis=1)  # mono mixdown
@@ -68,9 +115,11 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
 
 
 def decode_clip(data: bytes, codec: str) -> tuple[np.ndarray, int]:
-    """Codec dispatch. Only pcm_s16le is decodable in this image; the other
-    branches are deliberate stubs that keep the Spark-side plumbing honest."""
-    if codec == "pcm_s16le":
+    """Codec dispatch.  Every WAV-container sample format decodes with pure
+    numpy (see decode_wav_pcm16); compressed codecs need decoder libraries
+    absent from this image and are deliberate stubs that keep the
+    Spark-side plumbing honest."""
+    if codec in ("pcm_s16le", "pcm_u8", "pcm_f32le", "pcm_mulaw", "pcm_alaw", "wav"):
         return decode_wav_pcm16(data)
     if codec in ("mp3", "opus", "aac", "flac", "vorbis"):
         raise NotImplementedError(
