@@ -289,6 +289,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_probe_matched(spark, sf):
         return textdedup.probe_matched(_docs(spark, sf))
 
+    def q_doc_clusters(spark, sf):
+        return textdedup.doc_clusters(_docs(spark, sf))
+
     def q_token_stats(spark, sf):
         return text.token_stats(_docs(spark, sf))
 
@@ -414,6 +417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "confirmed_pairs": q_confirmed_pairs,
         "unique_docs": q_unique_docs,
         "probe_matched": q_probe_matched,
+        "doc_clusters": q_doc_clusters,
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
         "quality_scores": q_quality_scores,
@@ -489,6 +493,25 @@ def oracle_sql() -> dict[str, str]:
             members AS (SELECT doc_a AS doc_id FROM conf UNION SELECT doc_b FROM conf)
             SELECT d.doc_id FROM documents d
             WHERE d.doc_id NOT IN (SELECT doc_id FROM members)
+        """,
+        # the engine's distributed CC (pointer jumping) vs a recursive-CTE
+        # transitive closure: reach(node, label) spreads every node's id to
+        # everything it can reach; min(label) per node = component minimum
+        "doc_clusters": f"""
+            WITH RECURSIVE {_JACC},
+            conf AS (SELECT doc_a, doc_b FROM jacc WHERE jaccard_micro >= 500000),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM conf
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM conf
+            ),
+            reach(node, label) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+            )
+            SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node
         """,
         "probe_matched": f"""
             WITH {_BANDS},

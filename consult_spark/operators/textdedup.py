@@ -252,6 +252,31 @@ def probe_matched(docs: DataFrame, threshold: int = JACCARD_MICRO_THRESHOLD) -> 
     )
 
 
+def doc_clusters(docs: DataFrame) -> DataFrame:
+    """Transitive near-duplicate clustering over the text channel: the
+    engine's distributed connected components (cluster.py pointer jumping)
+    on confirmed pairs, verified against a recursive-CTE transitive-closure
+    oracle in DuckDB — the one stage of the core pipeline that previously
+    had no SQL twin of its own.  cluster_id = min doc_id in the component;
+    singletons label themselves."""
+    from ..config import Config
+    from .cluster import assign_clusters
+
+    # zero-pad ids so the CC min-label (lexical on strings) agrees with the
+    # numeric min the oracle computes
+    def pad(c):
+        return F.lpad(F.col(c).cast("string"), 20, "0")
+
+    conf = confirmed_pairs(docs)
+    clips_like = docs.select(pad("doc_id").alias("clip_id"))
+    edges = conf.select(pad("doc_a").alias("clip_a"), pad("doc_b").alias("clip_b"))
+    assigned = assign_clusters(clips_like, edges, Config())
+    return assigned.select(
+        F.col("clip_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+
+
 def unique_docs(docs: DataFrame) -> DataFrame:
     """S13: anti-join — docs with no confirmed dup partner."""
     conf = confirmed_pairs(docs)
