@@ -103,16 +103,26 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
 
 def minhash_table(docs: DataFrame) -> DataFrame:
     """(doc_id, r, minh): per-seed md5-lexicographic minima over the distinct
-    shingle set — the portable MinHash."""
+    shingle set — the portable MinHash.
+
+    One groupBy(doc_id) with N_SEEDS min-aggregates instead of an 8x
+    explode-then-shuffle (the same de-amplification as simhash16): the mins
+    ride map-side partials of a single exchange, and the (doc_id, r, minh)
+    long form is a stack() over N_SEEDS-wide rows — N_SEEDS x #docs rows,
+    not N_SEEDS x #shingles."""
     sh = doc_shingles(docs)
-    seeded = sh.select(
+    aggs = [
+        F.min(
+            F.md5(F.concat_ws(":", F.lit(str(r)), F.col("sh")).cast("binary"))
+        ).alias(f"m{r}")
+        for r in range(N_SEEDS)
+    ]
+    wide = sh.groupBy("doc_id").agg(*aggs)
+    stack_args = ", ".join(f"{r}, m{r}" for r in range(N_SEEDS))
+    return wide.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(N_SEEDS - 1))).alias("r"),
-        "sh",
-    )
-    return seeded.groupBy("doc_id", "r").agg(
-        F.min(F.md5(F.concat_ws(":", F.col("r").cast("string"), F.col("sh")).cast("binary"))).alias("minh")
-    )
+        F.expr(f"stack({N_SEEDS}, {stack_args}) AS (r, minh)"),
+    ).select("doc_id", F.col("r").cast("int").alias("r"), "minh")
 
 
 def minhash_bands(docs: DataFrame) -> DataFrame:
