@@ -169,39 +169,35 @@ def candidate_pairs(docs: DataFrame) -> DataFrame:
     return hits.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_bands"))
 
 
+def doc_shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, shs array<string>): each doc's distinct shingle set as ONE
+    array row — the same payload shape the audio verify uses.  Exact-verify
+    joins then move 5k array rows instead of shuffling the multi-million-row
+    exploded shingle table per pair side."""
+    return doc_shingles(docs).groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
+
+
 def pair_jaccard(docs: DataFrame) -> DataFrame:
     """S9: exact Jaccard re-score of candidates -> jaccard_micro BIGINT.
 
-    The candidate set is referenced twice below (intersection probe + final
-    join); Catalyst does not reuse the exchange across the differing
-    projections, so without materialization the whole shingle->minhash->
-    bands->cap subtree (and its source scan) runs twice.  localCheckpoint is
-    safe at any scale: candidates are structurally bounded by the bucket cap
-    (<= n_buckets * cap^2/2 rows of three scalars)."""
+    Candidates are localCheckpoint'ed (referenced twice downstream; Catalyst
+    does not reuse the exchange across differing projections, and the set is
+    structurally bounded by the bucket cap).  Intersections are JVM-side
+    array_intersect over per-doc shingle arrays — no row-per-shingle join."""
     cand = candidate_pairs(docs).localCheckpoint(eager=False)
-    sh = doc_shingles(docs)
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.withColumnsRenamed({"doc_id": "doc_a"})
-    b = sh.withColumnsRenamed({"doc_id": "doc_b"})
-    inter = (
-        cand.join(a, "doc_a")
-        .join(b, ["doc_b", "sh"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    na = counts.withColumnsRenamed({"doc_id": "doc_a", "n": "n_a"})
-    nb = counts.withColumnsRenamed({"doc_id": "doc_b", "n": "n_b"})
+    sets = doc_shingle_sets(docs)
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        cand.join(inter, ["doc_a", "doc_b"], "left")
-        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
-        .join(na, "doc_a")
-        .join(nb, "doc_b")
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
             "n_bands",
             F.floor(
-                1_000_000.0 * F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                1_000_000.0 * n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter)
             ).cast("bigint").alias("jaccard_micro"),
         )
     )
@@ -229,32 +225,18 @@ def probe_matched(docs: DataFrame, threshold: int = JACCARD_MICRO_THRESHOLD) -> 
             ["band", "band_key"],
         )
     )
-    cand = (
-        hits.groupBy("query_id", "lib_id")
-        .agg(F.count("*").alias("n_bands"))
-        .localCheckpoint(eager=False)  # referenced twice below, same as pair_jaccard
-    )
-    sh = doc_shingles(docs)
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.withColumnsRenamed({"doc_id": "query_id"})
-    b = sh.withColumnsRenamed({"doc_id": "lib_id"})
-    inter = (
-        cand.join(a, "query_id")
-        .join(b, ["lib_id", "sh"])
-        .groupBy("query_id", "lib_id")
-        .agg(F.count("*").alias("n_inter"))
-    )
-    nq = counts.withColumnsRenamed({"doc_id": "query_id", "n": "n_q"})
-    nl = counts.withColumnsRenamed({"doc_id": "lib_id", "n": "n_l"})
+    cand = hits.groupBy("query_id", "lib_id").agg(F.count("*").alias("n_bands"))
+    sets = doc_shingle_sets(docs)
+    a = sets.select(F.col("doc_id").alias("query_id"), F.col("shs").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("lib_id"), F.col("shs").alias("sh_b"))
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        cand.join(inter, ["query_id", "lib_id"], "left")
-        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
-        .join(nq, "query_id")
-        .join(nl, "lib_id")
+        cand.join(a, "query_id")
+        .join(b, "lib_id")
         .withColumn(
             "jaccard_micro",
             F.floor(
-                1_000_000.0 * F.col("n_inter") / (F.col("n_q") + F.col("n_l") - F.col("n_inter"))
+                1_000_000.0 * n_inter / (F.size("sh_a") + F.size("sh_b") - n_inter)
             ).cast("bigint"),
         )
         .filter(F.col("jaccard_micro") >= threshold)
