@@ -76,6 +76,34 @@ def test_text_shingles_whitespace_invariant(s):
     assert a == b
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=400))
+def test_wav_parser_never_crashes_on_garbage(data):
+    """Arbitrary bytes (including RIFF-prefixed garbage) must either decode
+    or raise AudioDecodeError — never IndexError/OverflowError/hang: the
+    per-clip soft-failure contract depends on the exception type."""
+    for payload in (data, b"RIFF" + data, b"RIFF\x10\x00\x00\x00WAVE" + data):
+        try:
+            x, sr = audio.decode_wav_pcm16(payload)
+            assert sr >= 0 and x.ndim == 1
+        except audio.AudioDecodeError:
+            pass
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=60), st.text(max_size=60),
+       st.floats(min_value=0.1, max_value=1.0, allow_nan=False))
+def test_substring_contained_matches_dp_oracle(a, b, frac):
+    """Suffix-array LCS == the independent numpy DP, on arbitrary unicode."""
+    from consult_spark.functions.suffixarray import substring_contained
+    from tests.oracle import lcs_len
+
+    ok, lcs = substring_contained(a, b, frac)
+    assert lcs == lcs_len(a, b)  # both measure utf-8 byte LCS
+    m = min(len(a), len(b))
+    assert ok == bool(m > 0 and lcs >= frac * m)
+
+
 @settings(max_examples=20, deadline=None)
 @given(st.lists(st.floats(min_value=-1.0, max_value=1.0, allow_nan=False), min_size=32, max_size=2000),
        st.sampled_from([8000, 16000]))
