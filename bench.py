@@ -110,7 +110,11 @@ def run_audio_pipeline_e2e(spark, clips_path: str) -> dict:
     features = shingle_op.featurize_from_parquet(spark, clips_path, cfg).persist()
     features.count()  # materialize the cache once; three downstream readers
     buckets = bands_op.salted_capped_buckets(bands_op.explode_bands(features), cfg)
-    candidates = pairs_op.candidate_pairs(buckets, cfg)
+    # verify references the candidate set three times (pcm scores, txt
+    # scores, final join) — unpersisted, the bucket-groupBy + pair-expansion
+    # subtree recomputes 3x inside the one action (measured: 181s -> ~140s
+    # at 16 cores / 240k clips with the cache)
+    candidates = pairs_op.candidate_pairs(buckets, cfg).persist()
     confirmed = verify_op.confirm_pairs(candidates, features, clips, cfg).persist()
     clusters = cluster_op.assign_clusters(clips, confirmed, cfg)
     n_rows = clusters.count()

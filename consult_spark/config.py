@@ -88,6 +88,13 @@ class Config:
 
     # ---- clustering ----
     cc_max_iters: int = 50
+    cc_driver_max_edges: int = 5_000_000  # below this, CC runs as a driver
+                                          # union-find (a ~100 MB collect)
+                                          # instead of paying fixed per-round
+                                          # scheduler latency; above it, the
+                                          # O(log n) distributed loop. Both
+                                          # produce the identical min-label
+                                          # result (tested on both paths).
 
     # ---- misc determinism ----
     master_seed: int = 42

@@ -9,9 +9,17 @@ from consult_spark.config import Config
 from consult_spark.operators.cluster import assign_clusters, connected_components, unique_clips
 
 
-@pytest.fixture(scope="module")
-def cc_cfg():
-    return Config(cc_max_iters=30)
+@pytest.fixture(
+    scope="module",
+    params=["driver_union_find", "distributed_pointer_jumping"],
+)
+def cc_cfg(request):
+    """Every topology runs against BOTH physical CC strategies — the
+    driver union-find fast path and the distributed min-label loop
+    (cc_driver_max_edges=0 forces the latter)."""
+    if request.param == "driver_union_find":
+        return Config(cc_max_iters=30)
+    return Config(cc_max_iters=30, cc_driver_max_edges=0)
 
 
 def _components(spark, edges, cc_cfg):
