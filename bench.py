@@ -225,7 +225,7 @@ def run_default(sf_dir: str) -> dict:
     return out
 
 
-SCALING_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", "240000"))
+SCALING_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", "480000"))
 SCALING_LEVELS = (4, 16)  # N and 4N
 
 
