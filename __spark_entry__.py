@@ -317,6 +317,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf)
         return text.simhash_hamming_pairs(docs, textdedup.candidate_pairs(docs))
 
+    def q_simhash_band_pairs(spark, sf):
+        return text.simhash_band_pairs(_docs(spark, sf))
+
     def q_doc_fingerprints(spark, sf):
         return text.doc_fingerprints(_docs(spark, sf))
 
@@ -426,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": q_corpus_stats,
         "simhash16": q_simhash16,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
+        "simhash_band_pairs": q_simhash_band_pairs,
         "doc_fingerprints": q_doc_fingerprints,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -630,6 +634,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
             FROM votes GROUP BY doc_id
+        """,
+        "simhash_band_pairs": f"""
+            WITH {_TOK},
+            dt AS (SELECT DISTINCT doc_id, tok FROM tok),
+            votes AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN substring(md5(tok), CAST(j + 1 AS INT), 1) IN
+                              ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v
+              FROM dt, generate_series(0, 15) s(j)
+              GROUP BY doc_id, j
+            ),
+            sh16 AS (
+              SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+              FROM votes GROUP BY doc_id
+            ),
+            bands AS (
+              SELECT doc_id, simhash, CAST(b AS INT) AS band, (simhash >> (4 * CAST(b AS INT))) & 15 AS val
+              FROM sh16, generate_series(0, 3) g(b)
+            ),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                              a.simhash AS sim_a, b.simhash AS sim_b
+              FROM bands a
+              JOIN bands b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+            )
+            SELECT doc_a, doc_b, sim_a, sim_b,
+                   CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+            FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3
         """,
         "simhash_hamming_pairs": f"""
             WITH {_CAND}, {_TOK.replace('tok AS', 'tok2 AS').replace('AS t(tok)', 'AS t(tok)')},

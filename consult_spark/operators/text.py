@@ -199,6 +199,45 @@ def simhash16(docs: DataFrame) -> DataFrame:
     return agg.select("doc_id", fp.cast("bigint").alias("simhash"))
 
 
+def simhash_band_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Pure-SimHash near-dup dedup (Manku et al., WWW'07 shape): the 16-bit
+    fingerprint splits into 4 bands of 4 bits; documents sharing ANY
+    (band, value) are candidates (a pair within hamming h misses only if
+    every band contains a differing bit — for h <= 3 at least one of the 4
+    bands is clean, so band-recall is exact by pigeonhole for h <= 3 and
+    probabilistic above); candidates are verified with the exact popcount.
+    Unlike simhash_hamming_pairs this needs NO MinHash candidates — it is
+    the standalone fingerprint dedup path.  16 bits is the PORTABLE-oracle
+    width: over a shared-vocabulary corpus it collides heavily (the
+    fingerprint space is small), which is exactly why the engine's audio
+    path fingerprints at 64 bits (hashing.simhash_batch); use this shape
+    with the wider fingerprint in production."""
+    s = simhash16(docs)
+    bands = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", 4 * b).bitwiseAND(F.lit(15)).alias("val"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select("band", "val", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = bands.select("band", "val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_hamming_pairs(docs: DataFrame, candidates: DataFrame, max_hamming: int = 6) -> DataFrame:
     """hd() analog on the 16-bit fingerprints of candidate pairs."""
     s = simhash16(docs)
