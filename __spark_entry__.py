@@ -20,6 +20,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# golden-fixture parquet lives next to this file — never hardcode the
+# checkout location (the driver contract must survive any clone path)
+_FIXTURES = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures")
+
 # ---------------------------------------------------------------------------
 # shared SQL fragments (DuckDB dialect) mirroring operators/textdedup.py
 # ---------------------------------------------------------------------------
@@ -801,12 +805,13 @@ def oracle_sql() -> dict[str, str]:
         # decode, python big-int hashing, union-find clustering) over the
         # same deterministic 200-clip fixture; regenerate with
         # scripts/gen_audio_oracle.py.  CONSULT precedent: golden end-to-end
-        # outputs as the trusted fixtures (README.md:85-99).
-        "audio_confirmed_pairs": """
-            SELECT * FROM read_parquet('/root/repo/tests/fixtures/oracle_audio_confirmed_pairs.parquet')
+        # outputs as the trusted fixtures (README.md:85-99).  Paths are
+        # checkout-relative (built from this file's location).
+        "audio_confirmed_pairs": f"""
+            SELECT * FROM read_parquet('{_FIXTURES}/oracle_audio_confirmed_pairs.parquet')
         """,
-        "audio_clusters": """
-            SELECT * FROM read_parquet('/root/repo/tests/fixtures/oracle_audio_clusters.parquet')
+        "audio_clusters": f"""
+            SELECT * FROM read_parquet('{_FIXTURES}/oracle_audio_clusters.parquet')
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,

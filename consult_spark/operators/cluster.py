@@ -39,13 +39,15 @@ def connected_components(edges: DataFrame, cfg: Config) -> DataFrame:
     Two physical strategies behind one contract (both produce the identical
     min-label result; test_cluster runs the suite against both):
 
-    * |E| <= cfg.cc_driver_max_edges: collect + union-find on the driver.
-      Each distributed round costs 2 joins + a checkpoint barrier of fixed
-      scheduler latency — a pure serial term that caps strong scaling
-      (measured ~20 s of the 240k-clip pipeline regardless of cores).  A
-      graph under the threshold is a few-MB collect and microseconds of
-      union-find; the bound is a driver-memory bound, same design as
-      ann.MAX_BROADCAST_VECTORS.
+    * |E| <= cfg.cc_driver_max_edges: Arrow-collect (toPandas) + vectorized
+      min-label propagation on the driver.  Each distributed round costs
+      2 joins + a checkpoint barrier of fixed scheduler latency — a pure
+      serial term that caps strong scaling (measured ~20 s of the 240k-clip
+      pipeline regardless of cores).  A graph under the threshold is a
+      tens-of-MB Arrow batch and sub-second numpy work (factorize ids, then
+      the SAME min-label + pointer-jump iteration as the distributed path,
+      over in-memory arrays); the bound is a driver-memory bound, same
+      design as ann.MAX_BROADCAST_VECTORS.
     * above it: the O(log n)-round min-label + pointer-jumping loop — the
       path that scales to edge sets no driver can hold.
     """
@@ -56,29 +58,35 @@ def connected_components(edges: DataFrame, cfg: Config) -> DataFrame:
 
     n_edges = sym.count()
     if n_edges <= cfg.cc_driver_max_edges:
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.types import StructField, StructType
+
         spark = edges.sparkSession
-        parent: dict = {}
-
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for row in sym.collect():
-            a, b = row[0], row[1]
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # union by MIN label keeps cluster_id = component minimum
-                if rb < ra:
-                    ra, rb = rb, ra
-                parent[rb] = ra
-        rows = [(x, find(x)) for x in parent]
-        return spark.createDataFrame(rows, "clip_id string, cluster_id string")
+        pdf = sym.toPandas()  # Arrow batches, not per-Row deserialization
+        # factorize(sort=True): code order == value order, so min over codes
+        # == min over ids (lexical for strings, numeric for ints) — the same
+        # tie-break as the distributed F.least path.
+        codes, uniques = pd.factorize(
+            pd.concat([pdf["src"], pdf["dst"]], ignore_index=True), sort=True
+        )
+        m = len(pdf)
+        a, b = codes[:m], codes[m:]
+        label = np.arange(len(uniques), dtype=np.int64)
+        while True:
+            prev = label.copy()
+            # propagate the smaller label across each edge, then pointer-jump
+            np.minimum.at(label, a, prev[b])
+            np.minimum.at(label, b, prev[a])
+            label = label[label]
+            if np.array_equal(label, prev):
+                break
+        id_type = edges.schema["clip_a"].dataType
+        out = pd.DataFrame({"clip_id": uniques, "cluster_id": np.asarray(uniques)[label]})
+        schema = StructType(
+            [StructField("clip_id", id_type), StructField("cluster_id", id_type)]
+        )
+        return spark.createDataFrame(out, schema=schema)
 
     labels = (
         sym.groupBy("src")

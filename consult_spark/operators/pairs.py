@@ -55,37 +55,40 @@ def probe_candidates(query_bands: DataFrame, lib_buckets: DataFrame, cfg: Config
     """
     lib = lib_buckets.withColumnsRenamed({"clip_id": "lib_id"})
     q = query_bands.withColumnsRenamed({"clip_id": "query_id"})
-    hits = q.join(lib, BUCKET_COLS, "inner").filter(F.col("query_id") != F.col("lib_id"))
-    agg = hits.groupBy("query_id", "lib_id").agg(
-        F.sum(F.when(F.col("kind") == "pcm", 1).otherwise(0)).alias("n_bands_pcm"),
-        F.sum(F.when(F.col("kind") == "txt", 1).otherwise(0)).alias("n_bands_txt"),
-        F.count("*").alias("n_bands_all"),
+    hits = (
+        q.join(lib, BUCKET_COLS, "inner")
+        .filter(F.col("query_id") != F.col("lib_id"))
+        .repartition("query_id", "lib_id")
     )
-    c = cfg.min_common_bands
-    # any channel reaching c qualifies (img/vid features probe the same way)
-    return agg.filter(
-        (F.col("n_bands_pcm") >= c)
-        | (F.col("n_bands_txt") >= c)
-        | ((F.col("n_bands_all") - F.col("n_bands_pcm") - F.col("n_bands_txt")) >= c)
-    ).drop("n_bands_all")
+    # per-kind counts, then max over kinds: a pair qualifies only if some
+    # SINGLE channel reaches c (img/vid probe the same way; collisions are
+    # never summed across channels).  Both aggs ride the one repartition.
+    per_kind = hits.groupBy("query_id", "lib_id", "kind").agg(F.count("*").alias("nk"))
+    agg = per_kind.groupBy("query_id", "lib_id").agg(
+        F.sum(F.when(F.col("kind") == "pcm", F.col("nk")).otherwise(0)).alias("n_bands_pcm"),
+        F.sum(F.when(F.col("kind") == "txt", F.col("nk")).otherwise(0)).alias("n_bands_txt"),
+        F.max("nk").alias("max_kind_bands"),
+    )
+    return agg.filter(F.col("max_kind_bands") >= cfg.min_common_bands).drop("max_kind_bands")
 
 
 def candidate_pairs(buckets: DataFrame, cfg: Config) -> DataFrame:
     """-> (clip_a, clip_b, n_bands_pcm, n_bands_txt), clip_a < clip_b,
     deduplicated across bands and channels, c-threshold applied per channel
-    (a pair qualifies if ANY channel reaches cfg.min_common_bands — the
-    L-table OR of the reference, main_search.cpp:810-880)."""
-    hits = bucket_pairs(buckets)
-    agg = hits.groupBy("clip_a", "clip_b").agg(
-        F.sum(F.when(F.col("kind") == "pcm", 1).otherwise(0)).alias("n_bands_pcm"),
-        F.sum(F.when(F.col("kind") == "txt", 1).otherwise(0)).alias("n_bands_txt"),
-        F.count("*").alias("n_bands_all"),
+    (a pair qualifies if SOME SINGLE channel reaches cfg.min_common_bands —
+    the L-table OR of the reference, main_search.cpp:810-880; collisions are
+    never summed across channels, so two extra channels at c-1 hits each do
+    not fake a qualifying pair).
+
+    One shuffle: hits are repartitioned by (clip_a, clip_b) once, and both
+    aggregations — the per-kind count and the pair rollup — are satisfied by
+    that distribution ((clip_a, clip_b) co-locates every (clip_a, clip_b,
+    kind) group), so neither adds an exchange."""
+    hits = bucket_pairs(buckets).repartition("clip_a", "clip_b")
+    per_kind = hits.groupBy("clip_a", "clip_b", "kind").agg(F.count("*").alias("nk"))
+    agg = per_kind.groupBy("clip_a", "clip_b").agg(
+        F.sum(F.when(F.col("kind") == "pcm", F.col("nk")).otherwise(0)).alias("n_bands_pcm"),
+        F.sum(F.when(F.col("kind") == "txt", F.col("nk")).otherwise(0)).alias("n_bands_txt"),
+        F.max("nk").alias("max_kind_bands"),
     )
-    c = cfg.min_common_bands
-    # any channel reaching c qualifies; n_bands_all covers non-pcm/txt
-    # channels (img/vid features ride the same operators)
-    return agg.filter(
-        (F.col("n_bands_pcm") >= c)
-        | (F.col("n_bands_txt") >= c)
-        | ((F.col("n_bands_all") - F.col("n_bands_pcm") - F.col("n_bands_txt")) >= c)
-    ).drop("n_bands_all")
+    return agg.filter(F.col("max_kind_bands") >= cfg.min_common_bands).drop("max_kind_bands")

@@ -31,8 +31,15 @@ def stream_featurize(
     checkpoint_dir: str,
     cfg: Config | None = None,
     max_files_per_trigger: int = 4,
+    compact_every: int = 0,
 ):
     """Start a stream: clips parquet dir -> features + buckets appends.
+
+    ``compact_every=N`` (N > 0) re-runs :func:`compact_buckets` automatically
+    after every N micro-batches, so the globally-capped ``lsh_buckets`` table
+    the probe contract requires exists without a manual maintenance call —
+    the cadence CONSULT's batch build gets for free by rebuilding the whole
+    index.  Leave 0 to manage compaction externally.
 
     Returns the StreamingQuery; callers stop() it or processAllAvailable().
     """
@@ -47,13 +54,15 @@ def stream_featurize(
         features = shingle_op.featurize(batch_df, cfg)
         features.persist()
         features.write.mode("append").parquet(f"{out_dir}/features_stream")
-        # per-batch bucket rows: the cap holds only WITHIN the batch; run
-        # compact_buckets() periodically to re-apply the global cap — probe
-        # against the compacted `lsh_buckets`, not buckets_stream, or the
-        # cap^2 pair-expansion bound does not hold
+        # per-batch bucket rows: the cap holds only WITHIN the batch; the
+        # compaction cadence (or a manual compact_buckets) re-applies the
+        # global cap — probe against the compacted `lsh_buckets`, not
+        # buckets_stream, or the cap^2 pair-expansion bound does not hold
         buckets = bands_op.salted_capped_buckets(bands_op.explode_bands(features), cfg)
         buckets.write.mode("append").parquet(f"{out_dir}/buckets_stream")
         features.unpersist()
+        if compact_every > 0 and (epoch_id + 1) % compact_every == 0:
+            compact_buckets(batch_df.sparkSession, out_dir, cfg)
 
     return (
         stream.writeStream.foreachBatch(per_batch)
@@ -75,10 +84,19 @@ def compact_buckets(spark: SparkSession, out_dir: str, cfg: Config | None = None
     deterministic because the cap keeps the cap-smallest clip_ids, not
     first-arrival (test_streaming pins the equality).
 
+    foreachBatch is at-least-once: a retried micro-batch appends its feature
+    rows AGAIN, and a duplicated clip would occupy multiple cap slots in its
+    buckets (evicting genuine members) and emit duplicate bucket rows —
+    dropDuplicates on the (clip_id, kind) key collapses replays before the
+    cap is applied (replayed rows are byte-identical, so which one survives
+    is immaterial).
+
     Returns the compacted buckets DataFrame.
     """
     cfg = cfg or Config()
-    features = spark.read.parquet(f"{out_dir}/features_stream")
+    features = spark.read.parquet(f"{out_dir}/features_stream").dropDuplicates(
+        ["clip_id", "kind"]
+    )
     buckets = bands_op.salted_capped_buckets(bands_op.explode_bands(features), cfg)
     buckets.write.mode("overwrite").parquet(f"{out_dir}/lsh_buckets")
     return spark.read.parquet(f"{out_dir}/lsh_buckets")

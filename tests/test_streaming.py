@@ -49,3 +49,46 @@ def test_stream_featurize_matches_batch(spark, corpus_xs, cfg, tmp_path):
         .count()
     )
     assert over == 0
+
+
+def test_compaction_cadence_runs_inside_stream(spark, corpus_xs, cfg, tmp_path):
+    """compact_every=1: the stream itself must produce the globally-capped
+    lsh_buckets table — probe-ready without any manual compact_buckets call
+    — and it must equal the batch build over the same clips."""
+    clips_dir = str(tmp_path / "clips_in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pdf = corpus_xs["clips"].head(60)
+    for i in range(3):
+        spark.createDataFrame(pdf.iloc[i * 20 : (i + 1) * 20]).coalesce(1).write.mode(
+            "append"
+        ).parquet(clips_dir)
+
+    q = stream_featurize(
+        spark, clips_dir, out_dir, ckpt, cfg, max_files_per_trigger=1, compact_every=1
+    )
+    q.awaitTermination(120)
+
+    compacted = spark.read.parquet(os.path.join(out_dir, "lsh_buckets"))
+    batch = SH.featurize(spark.createDataFrame(pdf), cfg)
+    expected = B.salted_capped_buckets(B.explode_bands(batch), cfg)
+    assert sorted(tuple(r) for r in compacted.collect()) == sorted(
+        tuple(r) for r in expected.collect()
+    )
+
+
+def test_compaction_dedupes_replayed_batch(spark, corpus_xs, cfg, tmp_path):
+    """at-least-once replay: append the same feature rows twice (what a
+    retried micro-batch does) — compaction must collapse the duplicates, so
+    no clip occupies two cap slots and no bucket row is emitted twice."""
+    out_dir = str(tmp_path / "out")
+    pdf = corpus_xs["clips"].head(40)
+    features = SH.featurize(spark.createDataFrame(pdf), cfg)
+    features.write.mode("append").parquet(os.path.join(out_dir, "features_stream"))
+    features.write.mode("append").parquet(os.path.join(out_dir, "features_stream"))
+
+    compacted = compact_buckets(spark, out_dir, cfg)
+    expected = B.salted_capped_buckets(B.explode_bands(features), cfg)
+    assert sorted(tuple(r) for r in compacted.collect()) == sorted(
+        tuple(r) for r in expected.collect()
+    )
