@@ -177,6 +177,22 @@ def near_dup_pairs(emb: DataFrame, threshold_micro: int = 400_000) -> DataFrame:
     return qdf.mapInPandas(block, schema="vec_a bigint, vec_b bigint, sim_micro bigint")
 
 
+def near_dup_auto(emb: DataFrame, threshold_micro: int = 400_000,
+                  brute_max_rows: int = MAX_BROADCAST_VECTORS) -> DataFrame:
+    """Size-routed near-duplicate pairs — the shipped default.
+
+    Below ``brute_max_rows`` (one cheap count) this is the EXACT blocked
+    matmul (near_dup_pairs, the small-n oracle path); above it, the
+    bucket-bounded banded-LSH path (near_dup_pairs_lsh) that never collects
+    — so at corpus scale the operator degrades to the scale path instead of
+    throwing at the broadcast guard.  The same dual-strategy contract as
+    cluster.connected_components' cc_driver_max_edges routing."""
+    n = emb.count()
+    if n <= brute_max_rows:
+        return near_dup_pairs(emb, threshold_micro)
+    return near_dup_pairs_lsh(emb, threshold_micro)
+
+
 def _hyperplane_signs(n_planes: int, dim: int, seed: int) -> list[list[int]]:
     """Deterministic ±1 hyperplane components from md5 bits (no RNG state);
     computed once driver-side and embedded as literals in the plan."""

@@ -238,6 +238,76 @@ def simhash_band_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+def simhash64(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, simhash): PRODUCTION-width 64-bit SimHash per document —
+    majority vote over the splitmix64-mixed hashes of the distinct width-k
+    character shingles (the engine's txt-channel feature space,
+    hashing.text_shingle_hashes), computed with the numpy kernels in one
+    Arrow pass.  Char shingles, not unigram tokens: a shared-vocabulary
+    corpus makes token-level fingerprints correlate (measured 13.6% band
+    candidate density on the 500-doc tier), while the shingle feature space
+    decorrelates unrelated docs (0.24% density, same tier).  The bigint
+    column carries the uint64 bit pattern (int64 view), the same convention
+    as the audio features table."""
+    import numpy as np
+
+    from ..functions import hashing as H
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sets = [H.text_shingle_hashes(t or "", k) for t in pdf["text"]]
+            fp = H.simhash_batch(sets, 64, seed=0)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": fp.view(np.int64)})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run, schema="doc_id bigint, simhash bigint"
+    )
+
+
+def simhash64_band_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Standalone SimHash near-dup dedup at PRODUCTION width (Manku et al.,
+    WWW'07): the 64-bit fingerprint splits into 4 bands of 16 bits; documents
+    sharing ANY (band, value) are candidates — pigeonhole-exact for
+    hamming <= 3 (a pair within h <= 3 has at least one clean band out of 4)
+    — then verified with the exact popcount.
+
+    This is the scale-path twin of ``simhash_band_pairs``: 16-bit band
+    values over a 64-bit fingerprint collide at ~n/2^16 per band for
+    unrelated docs (measured on the 500-doc gate tier: <0.1% of all pairs
+    survive to the popcount, vs 57% for the 16-bit portable shape), so the
+    self-join volume stays bucket-bounded at corpus scale.  Gated by a
+    golden table from the independent pure-python oracle
+    (scripts/gen_simhash64_oracle.py)."""
+    s = simhash64(docs)
+    bands = s.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned("simhash", 16 * b).bitwiseAND(F.lit(65535)).alias("val"),
+                )
+                for b in range(4)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a = bands.select("band", "val", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = bands.select("band", "val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("bigint"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_hamming_pairs(docs: DataFrame, candidates: DataFrame, max_hamming: int = 6) -> DataFrame:
     """hd() analog on the 16-bit fingerprints of candidate pairs."""
     s = simhash16(docs)

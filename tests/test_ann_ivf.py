@@ -66,3 +66,21 @@ def test_ivf_assign_probe_ranks(spark):
         ranks = sorted(r for r, _ in cells)
         assert ranks == [1, 2, 3, 4]
         assert len({c for _, c in cells}) == 4  # nprobe cells are distinct
+
+
+def test_near_dup_auto_routes_by_size(spark, monkeypatch):
+    """Below the row threshold: identical to the exact path. Above it: the
+    LSH path, and _broadcast_matrix (the driver collect) must never run."""
+    from consult_spark.operators import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = sorted(tuple(r) for r in ann.near_dup_pairs(emb).collect())
+    assert sorted(tuple(r) for r in ann.near_dup_auto(emb).collect()) == exact
+
+    def boom(*a, **k):
+        raise AssertionError("brute-force collect above the routing threshold")
+
+    monkeypatch.setattr(ann, "_broadcast_matrix", boom)
+    routed = ann.near_dup_auto(emb, brute_max_rows=10)
+    lsh = sorted(tuple(r) for r in ann.near_dup_pairs_lsh(emb).collect())
+    assert sorted(tuple(r) for r in routed.collect()) == lsh
