@@ -609,8 +609,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM quality
             WHERE n_tokens >= 20
               AND punct_ratio_micro <= 300000
-              AND stop_ratio_micro <= 90000
-              AND mean_token_len_micro BETWEEN 4300000 AND 4750000
+              AND stop_ratio_micro BETWEEN 20000 AND 300000
+              AND mean_token_len_micro BETWEEN 3000000 AND 10000000
         """,
         "corpus_stats": f"""
             WITH {_TOK}, {_LANG_MARKERS_SQL},

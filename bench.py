@@ -178,38 +178,63 @@ def run_audio_pipeline(spark, clips_path: str) -> dict:
     }
 
 
-def run_default(sf_dir: str) -> dict:
+def run_default(sf_dir: str, repeats: int = 2) -> dict:
+    """Headline bench with the same trust treatment as --scaling: the
+    process (and therefore the forked JVM + python workers) is CPU-pinned,
+    every query runs `repeats` times with the best wall time kept, and
+    /proc/stat steal ticks are recorded per run — single-shot numbers on
+    this steal-prone host are noise (the round-2 confirmed_pairs '+58%
+    regression' was partly that)."""
     from consult_spark.session import get_spark
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    try:
+        os.sched_setaffinity(0, set(range(cpus)))  # inherited by the JVM
+    except (AttributeError, OSError, ValueError):
+        pass
     spark = get_spark("consult_spark_bench", master=f"local[{cpus}]")
     sf = _sf_of(sf_dir)
     queries: dict[str, float] = {}
     extra: dict = {}
 
     clips_path, n_clips = bench_clips_path(spark, sf)
-    res = run_audio_pipeline(spark, clips_path)
+    audio_runs = []
+    for _ in range(repeats):
+        s0 = _steal_ticks()
+        r = run_audio_pipeline(spark, clips_path)
+        r["steal_ticks"] = _steal_ticks() - s0
+        audio_runs.append(r)
+    res = min(audio_runs, key=lambda r: r["wall_sec"])
     queries["audio_pipeline"] = round(res["wall_sec"], 3)
     extra["audio"] = {k: (round(v, 3) if isinstance(v, float) else v) for k, v in res.items() if k != "stage_sec"}
     extra["audio_stages"] = {k: round(v, 3) for k, v in res["stage_sec"].items()}
+    extra["audio_runs"] = [
+        {"wall_sec": round(r["wall_sec"], 3), "steal_ticks": r["steal_ticks"]} for r in audio_runs
+    ]
 
     import __spark_entry__ as E
 
     qs = E.queries()
     bench_queries = (
         "confirmed_pairs", "cosine_topk", "ann_lsh_topk", "simhash16",
-        "ann_near_dup_lsh", "probe_matched",
+        "ann_near_dup_lsh", "probe_matched", "simhash64_band_pairs",
     )
-    # warm each query once at the tiny sf so the single-shot timing below
-    # measures the steady-state plan, not JVM codegen/JIT compilation
-    # (measured: first execution is 5-10x the steady state)
+    # warm each query once at the tiny sf so the timings below measure the
+    # steady-state plan, not JVM codegen/JIT compilation (measured: first
+    # execution is 5-10x the steady state)
     for name in bench_queries:
         qs[name](spark, "/root/testdata/sf0.001").count()
     for name in bench_queries:
-        t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
-        queries[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(repeats):
+            s0 = _steal_ticks()
+            t0 = time.time()
+            n = qs[name](spark, sf_dir).count()
+            runs.append({"wall_sec": round(time.time() - t0, 3),
+                         "steal_ticks": _steal_ticks() - s0})
+        queries[name] = min(r["wall_sec"] for r in runs)
         extra.setdefault("rows", {})[name] = n
+        extra.setdefault("query_runs", {})[name] = runs
 
     total = sum(queries.values())
     out = {

@@ -114,17 +114,38 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
     return x, sr
 
 
+# Pluggable decoder registry: codec name -> fn(bytes) -> (float32 pcm, sr).
+# register_decoder() is the ONE-LINE integration point for compressed codecs
+# once a decoder wheel is installed (see README "Compressed audio"); entries
+# here take precedence over the builtin dispatch, so a site can also
+# override the WAV path (e.g. with a hardware-accelerated decoder).
+# Registration must happen at import time of a module shipped to the
+# executors (--py-files): mapInPandas workers import the same modules, so
+# the registry is populated everywhere the UDF runs.
+_DECODERS: dict[str, object] = {}
+
+
+def register_decoder(codec: str, fn) -> None:
+    """Register fn(bytes) -> (np.float32 mono pcm in [-1, 1], sample_rate)
+    for a codec name.  Decode failures inside fn should raise
+    AudioDecodeError (soft, per-clip); anything else propagates."""
+    _DECODERS[codec] = fn
+
+
 def decode_clip(data: bytes, codec: str) -> tuple[np.ndarray, int]:
     """Codec dispatch.  Every WAV-container sample format decodes with pure
     numpy (see decode_wav_pcm16); compressed codecs need decoder libraries
-    absent from this image and are deliberate stubs that keep the
-    Spark-side plumbing honest."""
+    absent from this image — register one with register_decoder() and the
+    whole pipeline (featurize/decode_ok/metrics) picks it up unchanged."""
+    fn = _DECODERS.get(codec)
+    if fn is not None:
+        return fn(data)
     if codec in ("pcm_s16le", "pcm_u8", "pcm_f32le", "pcm_mulaw", "pcm_alaw", "wav"):
         return decode_wav_pcm16(data)
     if codec in ("mp3", "opus", "aac", "flac", "vorbis"):
         raise NotImplementedError(
             f"codec {codec!r} requires an audio decoder library not present in "
-            "this environment; plug a decoder into decode_clip()"
+            "this environment; register one via audio.register_decoder()"
         )
     raise AudioDecodeError(f"unknown codec {codec!r}")
 

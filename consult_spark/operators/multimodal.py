@@ -3,11 +3,15 @@
 Per the training-data-pipeline contract, image and video payloads are
 treated exactly like audio: an opaque ``binary`` column plus typed metadata,
 processed by Arrow-batched UDFs.  The audio path (functions/audio.py) is
-fully real; the image/video DECODE steps require codec libraries absent
-from this environment, so they are STUBBED behind NotImplementedError with
-a deterministic-fake switch — the Spark-side plumbing (schemas, batch
-shapes, partitioning, UDF signatures, downstream dedup wiring) is real and
-tested.
+fully real.  Image decode is REAL for the uncompressed formats that need no
+codec library — binary PPM (P6) and 24-bit BMP, parsed in pure numpy like
+the WAV container — so a planted-dup image pair flows decode -> shingle ->
+bands -> pairs -> verify end-to-end on real bytes (test_sources_multimodal).
+Compressed image formats (png/jpeg) and video decode require PIL/opencv/
+ffmpeg, absent from this environment, and remain STUBBED behind
+NotImplementedError with a deterministic-fake switch; the Spark-side
+plumbing (schemas, batch shapes, partitioning, UDF signatures, downstream
+dedup wiring) is identical either way.
 
 Schemas:
   images(img_id string, bytes binary, width int, height int, format string)
@@ -33,17 +37,99 @@ IMAGES_SCHEMA = "img_id string, bytes binary, width int, height int, format stri
 VIDEOS_SCHEMA = "vid_id string, bytes binary, fps double, dur_ms int, codec string"
 
 
+class ImageDecodeError(ValueError):
+    """Unparseable image payload — a PER-IMAGE soft error, like
+    audio.AudioDecodeError: the image gets an empty shingle set and
+    decode_ok=False instead of failing the task."""
+
+
 def decode_image(data: bytes, fmt: str, deterministic_fake: bool = False) -> np.ndarray:
-    """bytes -> HxWx3 uint8 array.  Real decoders (PIL/opencv) are not in
-    this image; ``deterministic_fake=True`` derives a seeded pseudo-image
-    from the payload hash so the downstream plumbing can be exercised."""
+    """bytes -> HxWx3 uint8 array.
+
+    REAL paths (pure numpy, the same stance as the WAV container parser in
+    functions/audio.py): binary PPM (P6) and uncompressed 24-bit BMP — the
+    two mainstream formats that need no codec library.  Compressed formats
+    (png/jpeg/webp) require PIL/opencv, absent from this environment, and
+    raise NotImplementedError; ``deterministic_fake=True`` derives a seeded
+    pseudo-image from the payload hash so downstream plumbing can be
+    exercised for those."""
     if deterministic_fake:
         rng = np.random.default_rng(_payload_seed(data))
         return rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    f = (fmt or "").lower()
+    if f in ("ppm", "p6") or data[:2] == b"P6":
+        return _decode_ppm(data)
+    if f == "bmp" or data[:2] == b"BM":
+        return _decode_bmp(data)
     raise NotImplementedError(
         f"image decode ({fmt!r}) requires PIL/opencv, absent from this "
         "environment; plug a decoder in here — the rest of the pipeline is real"
     )
+
+
+def _decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6): 'P6' <ws> width <ws> height <ws> maxval <one ws>
+    then raw RGB triplets row-major.  '#' comments allowed in the header."""
+    if data[:2] != b"P6":
+        raise ImageDecodeError("not a P6 ppm")
+    i, vals = 2, []
+    n = len(data)
+    while len(vals) < 3:
+        while i < n and data[i : i + 1].isspace():
+            i += 1
+        if i < n and data[i] == 0x23:  # '#'
+            while i < n and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not data[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ImageDecodeError("truncated ppm header")
+        try:
+            vals.append(int(data[i:j]))
+        except ValueError as e:
+            raise ImageDecodeError(f"bad ppm header token {data[i:j]!r}") from e
+        i = j
+    i += 1  # exactly one whitespace byte separates maxval from the raster
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or not (0 < maxval < 256):
+        raise ImageDecodeError(f"unsupported ppm geometry {w}x{h} maxval={maxval}")
+    need = w * h * 3
+    if n - i < need:
+        raise ImageDecodeError(f"ppm raster truncated: {n - i} < {need}")
+    return np.frombuffer(data, dtype=np.uint8, count=need, offset=i).reshape(h, w, 3)
+
+
+def _decode_bmp(data: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB): rows padded to
+    4 bytes, BGR order, bottom-up when height is positive."""
+    if data[:2] != b"BM" or len(data) < 54:
+        raise ImageDecodeError("not a BMP / truncated header")
+
+    def u32(o):
+        return int.from_bytes(data[o : o + 4], "little")
+
+    def i32(o):
+        return int.from_bytes(data[o : o + 4], "little", signed=True)
+
+    off = u32(10)
+    w, h = i32(18), i32(22)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = u32(30)
+    if bpp != 24 or comp != 0:
+        raise ImageDecodeError(f"unsupported BMP variant bpp={bpp} compression={comp}")
+    if w <= 0 or h == 0:
+        raise ImageDecodeError(f"unsupported BMP geometry {w}x{h}")
+    rows = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if len(data) - off < stride * rows:
+        raise ImageDecodeError("BMP raster truncated")
+    raster = np.frombuffer(data, dtype=np.uint8, count=stride * rows, offset=off)
+    px = raster.reshape(rows, stride)[:, : w * 3].reshape(rows, w, 3)[..., ::-1]
+    if h > 0:
+        px = px[::-1]  # bottom-up storage
+    return np.ascontiguousarray(px)
 
 
 def _payload_seed(data: bytes) -> int:
@@ -93,7 +179,7 @@ def featurize_images(images: DataFrame, cfg: Config, deterministic_fake: bool = 
                 try:
                     img = decode_image(bytes(t.bytes), t.format, deterministic_fake)
                     s = image_shingles(img, cfg)
-                except NotImplementedError:
+                except (ImageDecodeError, NotImplementedError):
                     s = np.empty(0, dtype=np.uint64)
                     ok = False
                 ids.append(t.img_id)

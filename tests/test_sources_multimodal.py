@@ -36,6 +36,93 @@ def test_image_decode_stub_raises():
         MM.sample_video_frames(b"\x00" * 32, "h264")
 
 
+# --- independent encoders (test-side construction, never engine code) ------
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return b"P6\n# test comment\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """24-bit BI_RGB bottom-up BMP with 4-byte row padding."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for row in img[::-1]:  # bottom-up
+        raster += row[:, ::-1].tobytes()  # RGB -> BGR
+        raster += b"\x00" * (stride - w * 3)
+    header = (
+        b"BM"
+        + (54 + len(raster)).to_bytes(4, "little")
+        + b"\x00" * 4
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(header) + bytes(raster)
+
+
+def test_ppm_bmp_roundtrip():
+    rng = np.random.default_rng(7)
+    # 33 px wide: exercises BMP row padding (33*3 = 99 -> stride 100)
+    img = rng.integers(0, 256, size=(16, 33, 3), dtype=np.uint8)
+    assert np.array_equal(MM.decode_image(encode_ppm(img), "ppm"), img)
+    assert np.array_equal(MM.decode_image(encode_bmp(img), "bmp"), img)
+
+
+def test_corrupt_image_is_soft_error(spark, cfg):
+    rows = [("img_bad", b"P6\n2 2\n255\n\x00", "ppm")]  # truncated raster
+    images = spark.createDataFrame(rows, "img_id string, bytes binary, format string")
+    feats = MM.featurize_images(
+        images.withColumn("width", F.lit(2)).withColumn("height", F.lit(2))
+        .select("img_id", "bytes", "width", "height", "format"),
+        cfg,
+    )
+    got = feats.collect()
+    assert len(got) == 1 and not got[0]["decode_ok"] and got[0]["n_shingles"] == 0
+
+
+def test_real_image_dup_confirms_through_verify(spark, cfg):
+    """Planted near-dup image pair on REAL decoded bytes (no fake path):
+    decode -> block shingles -> bands -> capped buckets -> pair generation ->
+    exact-Jaccard verify.  img_b is img_a under a uniform brightness shift
+    (the median-centering must absorb it — same invariance stance as the
+    audio gain handling); img_c shares a quadrant only; img_d is unrelated."""
+    rng = np.random.default_rng(42)
+    base = rng.integers(0, 200, size=(32, 32, 3), dtype=np.uint8)
+    brighter = np.clip(base.astype(np.int32) + 10, 0, 255).astype(np.uint8)
+    partial = rng.integers(0, 200, size=(32, 32, 3), dtype=np.uint8)
+    partial[:16, :16] = base[:16, :16]
+    other = rng.integers(0, 200, size=(32, 32, 3), dtype=np.uint8)
+    rows = [
+        ("img_a", encode_ppm(base), 32, 32, "ppm"),
+        ("img_b", encode_bmp(brighter), 32, 32, "bmp"),  # cross-format dup
+        ("img_c", encode_ppm(partial), 32, 32, "ppm"),
+        ("img_d", encode_ppm(other), 32, 32, "ppm"),
+    ]
+    images = spark.createDataFrame(rows, MM.IMAGES_SCHEMA)
+    feats = MM.featurize_images(images, cfg)  # REAL decode
+    assert all(r["decode_ok"] for r in feats.collect())
+
+    from consult_spark.operators import bands as B
+    from consult_spark.operators import pairs as P
+    from consult_spark.operators import verify as V
+
+    cands = P.candidate_pairs(B.salted_capped_buckets(B.explode_bands(feats), cfg), cfg)
+    scored = {
+        (r["clip_a"], r["clip_b"]): r["jaccard"]
+        for r in V.channel_scores(cands, feats, "img", cfg).collect()
+    }
+    assert scored.get(("img_a", "img_b"), 0.0) >= cfg.txt_jaccard_threshold
+    assert scored.get(("img_a", "img_d"), 0.0) < cfg.txt_jaccard_threshold
+
+
 def test_image_featurize_plumbing(spark, cfg):
     """Deterministic-fake decode: the Spark-side plumbing (schema, batching,
     dedup wiring) is real — identical payload bytes produce identical
