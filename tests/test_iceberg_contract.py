@@ -94,3 +94,45 @@ def test_warehouse_parquet_fallback_without_jar(monkeypatch):
     with tempfile.TemporaryDirectory() as d:
         wh = Warehouse(_FakeSpark(calls), d, Config())
         assert not wh.use_iceberg
+
+
+def test_real_hadoop_catalog_roundtrip(tmp_path, monkeypatch):
+    """END-TO-END Iceberg: write features through a real hadoop-catalog
+    commit, read back, and resume.  Requires the runtime jar — point
+    CONSULT_SPARK_ICEBERG_JAR at iceberg-spark-runtime-<spark>_<scala>.jar;
+    auto-skipped when absent (this sandbox has no network route to Maven
+    Central — README 'Correctness gates' records the attempt)."""
+    import os
+
+    import pytest
+
+    jar = os.environ.get("CONSULT_SPARK_ICEBERG_JAR")
+    if not jar or not os.path.exists(jar):
+        pytest.skip("iceberg runtime jar not available in this environment")
+
+    from pyspark.sql import SparkSession
+
+    from consult_spark.session import iceberg_confs
+
+    # a dedicated session: the catalog confs must be set before the JVM starts
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    b = SparkSession.builder.master("local[2]").appName("iceberg_real")
+    for k, v in iceberg_confs(jar, str(tmp_path / "iceberg_wh")).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    try:
+        wh = Warehouse(spark, str(tmp_path / "manifests"), Config())
+        assert wh.use_iceberg
+        df = spark.range(100).selectExpr("cast(id as string) clip_id", "id % 3 kind")
+        n = wh.write(df, "features")
+        assert n == 100
+        assert wh.read("features").count() == 100
+        # resume contract: manifest written with the config fingerprint
+        assert wh.manifest("features")["params_hash"] == Config().params_hash
+        # a real Iceberg table has snapshot metadata
+        snaps = spark.sql("SELECT * FROM local.db.features.snapshots").count()
+        assert snaps >= 1
+    finally:
+        spark.stop()
