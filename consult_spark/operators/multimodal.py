@@ -140,14 +140,93 @@ def _payload_seed(data: bytes) -> int:
 
 def sample_video_frames(data: bytes, codec: str, every_ms: int = 1000,
                         deterministic_fake: bool = False) -> list[np.ndarray]:
-    """bytes -> sampled frames.  Same stub contract as decode_image."""
+    """bytes -> frames sampled every ``every_ms``, each HxWx3 uint8 RGB.
+
+    REAL path: YUV4MPEG2 (.y4m) — the uncompressed video container, parsed
+    in pure numpy (header + FRAME markers + raw 4:2:0/mono planes, BT.601
+    limited-range conversion), the video analog of the PPM/BMP image path.
+    Compressed codecs (h264/vp9/av1) require ffmpeg bindings, absent here,
+    and stay stubbed behind NotImplementedError."""
     if deterministic_fake:
         rng = np.random.default_rng(_payload_seed(data))
         return [rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8) for _ in range(4)]
+    if (codec or "").lower() in ("y4m", "yuv4mpeg2") or data[:9] == b"YUV4MPEG2":
+        return _sample_y4m(data, every_ms)
     raise NotImplementedError(
         f"video decode ({codec!r}) requires ffmpeg bindings, absent from this "
         "environment; plug a frame sampler in here"
     )
+
+
+def _yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """BT.601 limited-range YCbCr -> RGB uint8; chroma nearest-upsampled 2x."""
+    u2 = u.repeat(2, axis=0).repeat(2, axis=1)[: y.shape[0], : y.shape[1]]
+    v2 = v.repeat(2, axis=0).repeat(2, axis=1)[: y.shape[0], : y.shape[1]]
+    yf = 1.164 * (y.astype(np.float32) - 16.0)
+    uf = u2.astype(np.float32) - 128.0
+    vf = v2.astype(np.float32) - 128.0
+    rgb = np.stack(
+        [yf + 1.596 * vf, yf - 0.392 * uf - 0.813 * vf, yf + 2.017 * uf], axis=-1
+    )
+    return np.clip(rgb + 0.5, 0, 255).astype(np.uint8)
+
+
+def _sample_y4m(data: bytes, every_ms: int) -> list[np.ndarray]:
+    """YUV4MPEG2 stream header: 'YUV4MPEG2 W<w> H<h> F<num>:<den> ... C<cs>';
+    each frame: 'FRAME[params]\\n' + raw planes (Y then U then V for 4:2:0;
+    Y only for mono)."""
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+        raise ImageDecodeError("not a YUV4MPEG2 stream")
+    w = h = None
+    fps = 25.0
+    cs = b"420"
+    for field in data[:nl].split()[1:]:
+        tag, val = field[:1], field[1:]
+        if tag == b"W":
+            w = int(val)
+        elif tag == b"H":
+            h = int(val)
+        elif tag == b"F":
+            num, den = val.split(b":")
+            fps = int(num) / int(den)
+        elif tag == b"C":
+            cs = val
+    if not w or not h:
+        raise ImageDecodeError("y4m header missing W/H")
+    if cs.startswith(b"420"):
+        plane_sizes = (w * h, (w // 2) * ((h + 1) // 2), (w // 2) * ((h + 1) // 2))
+    elif cs == b"mono":
+        plane_sizes = (w * h,)
+    else:
+        raise ImageDecodeError(f"unsupported y4m chroma sampling C{cs.decode()}")
+    frame_bytes = sum(plane_sizes)
+    step = max(1, int(round(fps * every_ms / 1000.0)))
+    frames: list[np.ndarray] = []
+    pos, idx, n = nl + 1, 0, len(data)
+    while pos < n:
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or not data[pos:fnl].startswith(b"FRAME"):
+            raise ImageDecodeError("malformed y4m FRAME marker")
+        pos = fnl + 1
+        if pos + frame_bytes > n:
+            raise ImageDecodeError("y4m frame truncated")
+        if idx % step == 0:
+            y = np.frombuffer(data, np.uint8, w * h, pos).reshape(h, w)
+            if len(plane_sizes) == 3:
+                cw, ch = w // 2, (h + 1) // 2
+                u = np.frombuffer(data, np.uint8, cw * ch, pos + plane_sizes[0]).reshape(ch, cw)
+                v = np.frombuffer(
+                    data, np.uint8, cw * ch, pos + plane_sizes[0] + plane_sizes[1]
+                ).reshape(ch, cw)
+                frames.append(_yuv420_to_rgb(y, u, v))
+            else:
+                frames.append(np.repeat(y[:, :, None], 3, axis=2))
+        pos += frame_bytes
+        idx += 1
+    if not frames:
+        raise ImageDecodeError("y4m stream contains no frames")
+    return frames
 
 
 def image_shingles(img: np.ndarray, cfg: Config) -> np.ndarray:
@@ -189,5 +268,39 @@ def featurize_images(images: DataFrame, cfg: Config, deterministic_fake: bool = 
             yield signatures_frame(ids, kinds, sets, oks, cfg)
 
     return images.select("img_id", "bytes", "format").mapInPandas(
+        run, schema=FEATURES_SCHEMA
+    )
+
+
+def featurize_videos(videos: DataFrame, cfg: Config, every_ms: int = 1000,
+                     deterministic_fake: bool = False) -> DataFrame:
+    """videos table -> FULL features rows (kind='vid'): frames sampled every
+    ``every_ms``, per-frame block shingles unioned into one set per video —
+    the frame-union plays the same role as the audio dual-lattice union, so
+    videos sharing most frames land in shared buckets.  Real end-to-end for
+    .y4m payloads; failures per-video soft errors."""
+    from .shingle import FEATURES_SCHEMA, signatures_frame
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, sets, oks = [], [], [], []
+            for t in pdf.itertuples(index=False):
+                ok = True
+                try:
+                    frames = sample_video_frames(
+                        bytes(t.bytes), t.codec, every_ms, deterministic_fake
+                    )
+                    parts = [image_shingles(f, cfg) for f in frames]
+                    s = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+                except (ImageDecodeError, NotImplementedError):
+                    s = np.empty(0, dtype=np.uint64)
+                    ok = False
+                ids.append(t.vid_id)
+                kinds.append("vid")
+                sets.append(s)
+                oks.append(ok)
+            yield signatures_frame(ids, kinds, sets, oks, cfg)
+
+    return videos.select("vid_id", "bytes", "codec").mapInPandas(
         run, schema=FEATURES_SCHEMA
     )

@@ -88,6 +88,78 @@ def test_corrupt_image_is_soft_error(spark, cfg):
     assert len(got) == 1 and not got[0]["decode_ok"] and got[0]["n_shingles"] == 0
 
 
+def encode_y4m(frames: list[np.ndarray], fps: int = 4) -> bytes:
+    """Independent YUV4MPEG2 encoder (4:2:0, BT.601 limited-range forward
+    transform, 2x2 chroma averaging)."""
+    h, w, _ = frames[0].shape
+    out = bytearray(b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C420\n" % (w, h, fps))
+    for f in frames:
+        r, g, b = (f[..., c].astype(np.float32) for c in range(3))
+        y = 16.0 + 0.257 * r + 0.504 * g + 0.098 * b
+        u = 128.0 - 0.148 * r - 0.291 * g + 0.439 * b
+        v = 128.0 + 0.439 * r - 0.368 * g - 0.071 * b
+        usub = u.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        vsub = v.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+        out += b"FRAME\n"
+        out += np.clip(y + 0.5, 0, 255).astype(np.uint8).tobytes()
+        out += np.clip(usub + 0.5, 0, 255).astype(np.uint8).tobytes()
+        out += np.clip(vsub + 0.5, 0, 255).astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def test_y4m_frame_sampling_and_roundtrip():
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(16, 220, size=(32, 32, 3), dtype=np.uint8) for _ in range(8)]
+    data = encode_y4m(frames, fps=4)
+    # every_ms=1000 at 4 fps -> every 4th frame -> frames 0 and 4
+    got = MM.sample_video_frames(data, "y4m", every_ms=1000)
+    assert len(got) == 2
+    # 4:2:0 chroma subsampling is lossy per channel, but the BT.601 forward/
+    # inverse pair preserves LUMA — the quantity the dedup features quantize
+    def luma(f):
+        r, g, b = (f[..., c].astype(np.float32) for c in range(3))
+        return 0.257 * r + 0.504 * g + 0.098 * b
+
+    for g, f in ((got[0], frames[0]), (got[1], frames[4])):
+        assert np.abs(luma(g) - luma(f)).mean() < 1.0
+    # mono variant
+    mono = b"YUV4MPEG2 W4 H2 F1:1 Cmono\nFRAME\n" + bytes(range(8))
+    g = MM.sample_video_frames(mono, "y4m", every_ms=1000)
+    assert g[0].shape == (2, 4, 3) and g[0][0, 0, 0] == 0
+
+
+def test_real_video_dup_confirms_through_verify(spark, cfg):
+    """Planted near-dup VIDEO pair on real y4m bytes: decode -> per-frame
+    shingles -> frame union -> bands -> pairs -> exact-Jaccard verify."""
+    rng = np.random.default_rng(11)
+    shared = [rng.integers(0, 200, size=(32, 32, 3), dtype=np.uint8) for _ in range(4)]
+    extra = rng.integers(0, 200, size=(32, 32, 3), dtype=np.uint8)
+    other = [rng.integers(0, 200, size=(32, 32, 3), dtype=np.uint8) for _ in range(4)]
+    rows = [
+        ("vid_a", encode_y4m(shared), 1.0, 4000, "y4m"),
+        ("vid_b", encode_y4m(shared[:3] + [extra]), 1.0, 4000, "y4m"),  # 3/4 shared
+        ("vid_c", encode_y4m(other), 1.0, 4000, "y4m"),
+        ("vid_bad", b"YUV4MPEG2 W32 H32 F1:1 C420\nFRAME\n\x00", 1.0, 10, "y4m"),
+    ]
+    videos = spark.createDataFrame(rows, MM.VIDEOS_SCHEMA)
+    feats = MM.featurize_videos(videos, cfg, every_ms=1000)
+    ok = {r["clip_id"]: r["decode_ok"] for r in feats.collect()}
+    assert ok == {"vid_a": True, "vid_b": True, "vid_c": True, "vid_bad": False}
+
+    from consult_spark.operators import bands as B
+    from consult_spark.operators import pairs as P
+    from consult_spark.operators import verify as V
+
+    good = feats.filter("decode_ok")
+    cands = P.candidate_pairs(B.salted_capped_buckets(B.explode_bands(good), cfg), cfg)
+    scored = {
+        (r["clip_a"], r["clip_b"]): r["jaccard"]
+        for r in V.channel_scores(cands, good, "vid", cfg).collect()
+    }
+    assert scored.get(("vid_a", "vid_b"), 0.0) >= cfg.txt_jaccard_threshold
+    assert scored.get(("vid_a", "vid_c"), 0.0) < cfg.txt_jaccard_threshold
+
+
 def test_real_image_dup_confirms_through_verify(spark, cfg):
     """Planted near-dup image pair on REAL decoded bytes (no fake path):
     decode -> block shingles -> bands -> capped buckets -> pair generation ->
