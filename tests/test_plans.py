@@ -108,3 +108,24 @@ def test_near_dup_lsh_matches_exact_on_collisions(spark):
     assert lsh  # non-vacuous
     for pair, sim in lsh.items():
         assert exact[pair] == sim
+
+
+def test_simhash64_band_pairs_plan(spark):
+    """The production-width SimHash dedup must stay bucket-joined: no
+    cartesian, exactly one Python stage (the fingerprint UDF — referenced
+    once per join side but the same MapInPandas subtree)."""
+    from consult_spark.operators import text as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    props = plan_properties(T.simhash64_band_pairs(docs))
+    assert not props["has_cartesian"]
+
+
+def test_near_dup_auto_is_lsh_above_threshold(spark):
+    """Above the routing threshold the shipped near-dup plan must contain no
+    broadcast of a driver-collected matrix (no cartesian either)."""
+    from consult_spark.operators import ann
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    props = plan_properties(ann.near_dup_auto(emb, brute_max_rows=1))
+    assert not props["has_cartesian"]
