@@ -91,3 +91,28 @@ def test_simhash_prefilter_does_not_lose_dups(spark, features_xs, oracle_xs, cfg
         if info["pcm_jaccard"] >= cfg.jaccard_threshold:
             ham = bin(sims[(a, "pcm")] ^ sims[(b, "pcm")]).count("1")
             assert ham <= cfg.simhash_prefilter_max, (a, b, ham)
+
+
+def test_no_cross_channel_band_summing(spark, cfg):
+    """ADVICE round-2: with c=2, a pair colliding once in 'img' and once in
+    'vid' must NOT qualify (no single channel reached c), while a pair
+    colliding twice within 'img' must."""
+    from consult_spark.config import Config
+    from consult_spark.operators import pairs as P
+
+    rows = [
+        # (kind, table_l, band_hash, clip_id): pair (a,b) 1x img + 1x vid
+        ("img", 0, 111, "a"), ("img", 0, 111, "b"),
+        ("vid", 1, 222, "a"), ("vid", 1, 222, "b"),
+        # pair (c,d): 2x img
+        ("img", 2, 333, "c"), ("img", 2, 333, "d"),
+        ("img", 3, 444, "c"), ("img", 3, 444, "d"),
+    ]
+    buckets = spark.createDataFrame(
+        rows, "kind string, table_l int, band_hash long, clip_id string"
+    )
+    got = {
+        (r["clip_a"], r["clip_b"])
+        for r in P.candidate_pairs(buckets, Config(min_common_bands=2)).collect()
+    }
+    assert got == {("c", "d")}
