@@ -275,6 +275,16 @@ def run_scaling(repeats: int = 2) -> None:
     """
     results = {}
     all_runs: dict[int, list] = {}
+    # size the heap to the input: the features cache at ~1M clips is ~10 GB
+    # deserialized — a 16 GB heap spills + GC-thrashes BOTH configurations
+    # (measured: 960k at 4 cores fell from the Amdahl-predicted ~785 to 562
+    # clips/s at 16g).  Same heap at both core counts, so the ratio stays a
+    # scaling measurement, not a memory-sizing one; a real cluster sizes
+    # executor memory to the working set exactly the same way.
+    env = dict(os.environ)
+    env.setdefault(
+        "CONSULT_SPARK_DRIVER_MEM", "48g" if SCALING_CLIPS > 500_000 else "16g"
+    )
     for cores in SCALING_LEVELS:
         runs = []
         for _ in range(repeats):
@@ -283,7 +293,7 @@ def run_scaling(repeats: int = 2) -> None:
                 sys.executable, __file__, "--single-audio", "--cores", str(cores),
                 "--n-clips", str(SCALING_CLIPS),
             ]
-            out = subprocess.run(cmd, capture_output=True, text=True, check=False)
+            out = subprocess.run(cmd, capture_output=True, text=True, check=False, env=env)
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
             runs.append(json.loads(line))
             print(f"cores={cores}: {runs[-1]}")
