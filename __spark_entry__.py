@@ -388,6 +388,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q_media_confirmed_pairs(spark, sf):
+        # image dedup on REAL decoded PPM/BMP bytes over the deterministic
+        # 120-image fixture (generate_image_corpus_pandas(120, 42), frozen
+        # as parquet); golden-table oracle from the independent
+        # implementation in scripts/gen_media_oracle.py (pure-python
+        # decode + python big-int hashing)
+        from consult_spark.config import Config
+        from consult_spark.operators import bands as bands_op
+        from consult_spark.operators import multimodal as mm
+        from consult_spark.operators import pairs as pairs_op
+        from consult_spark.operators import verify as verify_op
+
+        cfg = Config()
+        images = spark.read.parquet(os.path.join(_FIXTURES, "media_images.parquet"))
+        feats = mm.featurize_images(images, cfg)
+        buckets = bands_op.salted_capped_buckets(bands_op.explode_bands(feats), cfg)
+        cands = pairs_op.candidate_pairs(buckets, cfg)
+        scored = verify_op.channel_scores(cands, feats, "img", cfg)
+        return scored.filter(F.col("jaccard") >= cfg.txt_jaccard_threshold).select(
+            "clip_a", "clip_b",
+            F.floor(1_000_000.0 * F.col("jaccard")).cast("bigint").alias("jaccard_micro"),
+            F.col("hamming").cast("bigint").alias("hamming"),
+        )
+
     # ---- rows-only audio engine checks (UDF stages; no SQL oracle) ----
     def q_audio_confirmed_pairs(spark, sf):
         from consult_spark.config import Config
@@ -457,6 +481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "simhash_band_pairs": q_simhash_band_pairs,
         "simhash64_band_pairs": q_simhash64_band_pairs,
+        "media_confirmed_pairs": q_media_confirmed_pairs,
         "doc_fingerprints": q_doc_fingerprints,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -838,6 +863,9 @@ def oracle_sql() -> dict[str, str]:
         # checkout-relative (built from this file's location).
         "simhash64_band_pairs": f"""
             SELECT * FROM read_parquet('{_FIXTURES}/oracle_simhash64_band_pairs.parquet')
+        """,
+        "media_confirmed_pairs": f"""
+            SELECT * FROM read_parquet('{_FIXTURES}/oracle_media_confirmed.parquet')
         """,
         "audio_confirmed_pairs": f"""
             SELECT * FROM read_parquet('{_FIXTURES}/oracle_audio_confirmed_pairs.parquet')

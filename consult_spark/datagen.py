@@ -245,3 +245,67 @@ def generate_corpus_spark(spark, n_rows: int, seed: int = 42, n_partitions: int 
 
     clips = ldf.mapInPandas(gen, schema=CLIPS_SCHEMA)
     return clips, layout
+
+
+# ---------------------------------------------------------------------------
+# deterministic image corpus (media dedup fixtures / golden gate)
+# ---------------------------------------------------------------------------
+
+IMAGES_COLUMNS = ("img_id", "bytes", "width", "height", "format")
+
+
+def _ppm_bytes(img: np.ndarray) -> bytes:
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
+
+
+def _bmp_bytes(img: np.ndarray) -> bytes:
+    """24-bit BI_RGB bottom-up BMP, rows padded to 4 bytes."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for row in img[::-1]:
+        raster += row[:, ::-1].tobytes()  # RGB -> BGR
+        raster += b"\x00" * (stride - w * 3)
+    header = (
+        b"BM" + (54 + len(raster)).to_bytes(4, "little") + b"\x00" * 4
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True) + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(raster).to_bytes(4, "little") + b"\x00" * 16
+    )
+    return bytes(header) + bytes(raster)
+
+
+def generate_image_corpus_pandas(n_rows: int, seed: int = 42) -> pd.DataFrame:
+    """Deterministic images with planted near-duplicate structure, mirroring
+    the clip corpus: ~30% of bases get a variant (uniform brightness shift
+    that the median-centered block features must absorb), alternating
+    PPM/BMP containers so dups cross formats.  Pixels are smooth gradients +
+    seeded low-frequency blobs (structured, like photographs) rather than
+    white noise, so block features carry signal."""
+    rows = []
+    i = 0
+    base_idx = 0
+    while len(rows) < n_rows:
+        rng = np.random.default_rng(np.random.SeedSequence([seed, 7, base_idx]))
+        yy, xx = np.mgrid[0:32, 0:32].astype(np.float64)
+        img = 60 + 40 * np.sin(xx / rng.uniform(3, 9)) + 40 * np.cos(yy / rng.uniform(3, 9))
+        for _ in range(rng.integers(2, 5)):
+            cx, cy, r = rng.uniform(0, 32), rng.uniform(0, 32), rng.uniform(3, 10)
+            img += rng.uniform(20, 80) * np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * r * r)))
+        chan = np.stack([img * rng.uniform(0.7, 1.0) for _ in range(3)], axis=-1)
+        base = np.clip(chan, 0, 255).astype(np.uint8)
+        variants = [base]
+        if rng.random() < 0.30 and len(rows) + 2 <= n_rows + 1:
+            shift = int(rng.integers(4, 12))
+            variants.append(np.clip(base.astype(np.int32) + shift, 0, 255).astype(np.uint8))
+        for v_idx, img_v in enumerate(variants):
+            if len(rows) >= n_rows:
+                break
+            fmt = "ppm" if (base_idx + v_idx) % 2 == 0 else "bmp"
+            data = _ppm_bytes(img_v) if fmt == "ppm" else _bmp_bytes(img_v)
+            rows.append((f"img_{base_idx:06d}_{v_idx}", data, 32, 32, fmt))
+            i += 1
+        base_idx += 1
+    return pd.DataFrame(rows, columns=list(IMAGES_COLUMNS))

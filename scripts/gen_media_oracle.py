@@ -1,0 +1,160 @@
+"""Golden oracle table for the media (image) dedup driver gate.
+
+Same stance as gen_audio_oracle.py: an independent implementation of the
+identical spec, frozen as parquet for the DuckDB side of the driver gate.
+Independence per stage:
+  - PPM/BMP decode: pure-python byte walking (engine: numpy frombuffer
+    parsers in operators/multimodal.py);
+  - block featurization: numpy with the engine's expression shapes (the
+    float stage — same acknowledged limitation as the audio oracle's FFT:
+    an independent float evaluation order could flip a quantization bin on
+    exact ties, so the spec's own ops are reused; everything integer
+    downstream is independent);
+  - shingle/minhash/simhash/banding/verify: tests/oracle.py python big-int
+    implementations (engine: numpy uint64 + Spark joins).
+
+Writes:
+  tests/fixtures/media_images.parquet          (the deterministic corpus)
+  tests/fixtures/oracle_media_confirmed.parquet (expected confirmed pairs)
+
+Usage: python scripts/gen_media_oracle.py
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pandas as pd
+
+from consult_spark.config import Config
+from consult_spark.datagen import generate_image_corpus_pandas
+from tests.oracle import band_hash_list, minhash_set, poly_hash_windows, simhash_set, truncate32
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "fixtures"
+)
+N_IMAGES = 120
+SEED = 42
+
+
+def decode_ppm_py(data: bytes) -> np.ndarray:
+    """Pure-python P6 parser (no numpy in the parsing)."""
+    assert data[:2] == b"P6"
+    i, vals = 2, []
+    while len(vals) < 3:
+        while data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":
+            while data[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while not data[j : j + 1].isspace():
+            j += 1
+        vals.append(int(data[i:j]))
+        i = j
+    i += 1
+    w, h, maxval = vals
+    assert maxval == 255
+    px = [[[data[i + (y * w + x) * 3 + c] for c in range(3)] for x in range(w)] for y in range(h)]
+    return np.array(px, dtype=np.uint8)
+
+
+def decode_bmp_py(data: bytes) -> np.ndarray:
+    """Pure-python 24-bit BI_RGB parser."""
+    assert data[:2] == b"BM"
+    off = int.from_bytes(data[10:14], "little")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    assert int.from_bytes(data[28:30], "little") == 24
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for y in range(abs(h)):
+        base = off + y * stride
+        row = [[data[base + x * 3 + 2], data[base + x * 3 + 1], data[base + x * 3]]
+               for x in range(w)]
+        rows.append(row)
+    if h > 0:
+        rows.reverse()  # bottom-up
+    return np.array(rows, dtype=np.uint8)
+
+
+def image_shingles_oracle(img: np.ndarray) -> set[int]:
+    """The engine's block-feature spec (operators/multimodal.image_shingles),
+    float stage in numpy (see module docstring), hashing via the independent
+    python-int polynomial."""
+    lum = img.astype(np.float64).mean(axis=2)
+    h, w = lum.shape
+    bh, bw = max(1, h // 8), max(1, w // 8)
+    blocks = lum[: (h // bh) * bh, : (w // bw) * bw].reshape(h // bh, bh, w // bw, bw).mean(axis=(1, 3))
+    q = np.clip(((blocks - np.median(blocks)) / 16.0) + 8, 0, 15).astype(np.uint64)
+    flat = [int(v) for v in q.reshape(-1)]
+    return set(poly_hash_windows(flat, min(4, len(flat))))
+
+
+def main() -> None:
+    cfg = Config()
+    images = generate_image_corpus_pandas(N_IMAGES, SEED)
+
+    sets: dict[str, set[int]] = {}
+    sims: dict[str, int] = {}
+    mins: dict[str, list[int]] = {}
+    for t in images.itertuples(index=False):
+        img = decode_ppm_py(bytes(t.bytes)) if t.format == "ppm" else decode_bmp_py(bytes(t.bytes))
+        s = image_shingles_oracle(img)
+        sets[t.img_id] = s
+        mins[t.img_id] = minhash_set(s, cfg.n_hashes, cfg.minhash_seed)
+        sims[t.img_id] = simhash_set(s, cfg.minhash_seed)
+
+    buckets: dict[tuple[int, int], list[str]] = {}
+    for iid, sig in mins.items():
+        if not sets[iid]:
+            continue
+        for l, bh in enumerate(band_hash_list(sig, cfg.n_bands, cfg.rows_per_band, cfg.band_seed)):
+            buckets.setdefault((l, bh), []).append(iid)
+
+    counts: dict[tuple[str, str], int] = {}
+    for members in buckets.values():
+        members = sorted(members)[: cfg.bucket_cap]
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                p = (members[i], members[j])
+                counts[p] = counts.get(p, 0) + 1
+
+    thr = cfg.txt_jaccard_threshold
+    out = []
+    for (a, b), nb in sorted(counts.items()):
+        if nb < cfg.min_common_bands:
+            continue
+        sa, sb = truncate32(sets[a]), truncate32(sets[b])
+        ham = bin(sims[a] ^ sims[b]).count("1")
+        na, nbn = len(sa), len(sb)
+        # the engine's verify prunes (channel_scores): simhash prefilter +
+        # containment bound run BEFORE the exact jaccard
+        if ham > cfg.simhash_prefilter_max or min(na, nbn) < thr * max(na, nbn):
+            continue
+        inter = len(sa & sb)
+        jac = inter / (na + nbn - inter) if (na or nbn) else 0.0
+        if jac >= thr:
+            out.append({
+                "clip_a": a, "clip_b": b,
+                "jaccard_micro": int(math.floor(1_000_000.0 * jac)),
+                "hamming": ham,
+            })
+
+    pdf = pd.DataFrame(out).astype({"jaccard_micro": "int64", "hamming": "int64"})
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    images.to_parquet(os.path.join(FIXTURE_DIR, "media_images.parquet"), index=False)
+    pdf.to_parquet(os.path.join(FIXTURE_DIR, "oracle_media_confirmed.parquet"), index=False)
+    n_variants = sum(1 for i in images["img_id"] if i.endswith("_1"))
+    print(f"images={len(images)} planted_variants={n_variants} "
+          f"candidates={len(counts)} confirmed={len(pdf)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -83,3 +83,27 @@ def test_media_job_images_only(spark, media, tmp_path):
         r["clip_id"]: r["cluster_id"] for r in res["tables"]["media_clusters"].collect()
     }
     assert clusters["img_a"] == clusters["img_b"]
+
+
+def test_media_golden_oracle_pin(spark):
+    """Engine image-dedup output == the independent oracle's golden table
+    (pure-python decode + big-int hashing, scripts/gen_media_oracle.py),
+    and every planted brightness-shift variant is recovered."""
+    import os
+
+    import __spark_entry__ as E
+
+    q = E.queries()["media_confirmed_pairs"]
+    got = sorted(tuple(r) for r in q(spark, "unused").collect())
+    fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", "oracle_media_confirmed.parquet"
+    )
+    exp = sorted(tuple(r) for r in spark.read.parquet(fixture).collect())
+    assert got == exp and len(got) > 0
+    # planted recall: base img_X_0 must pair with its variant img_X_1
+    pairs = {(a, b) for a, b, *_ in got}
+    from consult_spark.datagen import generate_image_corpus_pandas
+
+    ids = set(generate_image_corpus_pandas(120, 42)["img_id"])
+    planted = {(i[:-2] + "_0", i) for i in ids if i.endswith("_1")}
+    assert planted <= pairs
