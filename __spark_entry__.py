@@ -412,6 +412,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("hamming").cast("bigint").alias("hamming"),
         )
 
+    def q_video_confirmed_pairs(spark, sf):
+        # same construction as media_confirmed_pairs for the VIDEO channel:
+        # real y4m decode + frame-union shingles over the deterministic
+        # 60-video fixture; golden table from scripts/gen_media_oracle.py
+        from consult_spark.config import Config
+        from consult_spark.operators import bands as bands_op
+        from consult_spark.operators import multimodal as mm
+        from consult_spark.operators import pairs as pairs_op
+        from consult_spark.operators import verify as verify_op
+
+        cfg = Config()
+        videos = spark.read.parquet(os.path.join(_FIXTURES, "media_videos.parquet"))
+        feats = mm.featurize_videos(videos, cfg)
+        buckets = bands_op.salted_capped_buckets(bands_op.explode_bands(feats), cfg)
+        cands = pairs_op.candidate_pairs(buckets, cfg)
+        scored = verify_op.channel_scores(cands, feats, "vid", cfg)
+        return scored.filter(F.col("jaccard") >= cfg.txt_jaccard_threshold).select(
+            "clip_a", "clip_b",
+            F.floor(1_000_000.0 * F.col("jaccard")).cast("bigint").alias("jaccard_micro"),
+            F.col("hamming").cast("bigint").alias("hamming"),
+        )
+
     # ---- rows-only audio engine checks (UDF stages; no SQL oracle) ----
     def q_audio_confirmed_pairs(spark, sf):
         from consult_spark.config import Config
@@ -482,6 +504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_band_pairs": q_simhash_band_pairs,
         "simhash64_band_pairs": q_simhash64_band_pairs,
         "media_confirmed_pairs": q_media_confirmed_pairs,
+        "video_confirmed_pairs": q_video_confirmed_pairs,
         "doc_fingerprints": q_doc_fingerprints,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -866,6 +889,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_confirmed_pairs": f"""
             SELECT * FROM read_parquet('{_FIXTURES}/oracle_media_confirmed.parquet')
+        """,
+        "video_confirmed_pairs": f"""
+            SELECT * FROM read_parquet('{_FIXTURES}/oracle_video_confirmed.parquet')
         """,
         "audio_confirmed_pairs": f"""
             SELECT * FROM read_parquet('{_FIXTURES}/oracle_audio_confirmed_pairs.parquet')

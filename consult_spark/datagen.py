@@ -309,3 +309,57 @@ def generate_image_corpus_pandas(n_rows: int, seed: int = 42) -> pd.DataFrame:
             i += 1
         base_idx += 1
     return pd.DataFrame(rows, columns=list(IMAGES_COLUMNS))
+
+
+VIDEOS_COLUMNS = ("vid_id", "bytes", "fps", "dur_ms", "codec")
+
+
+def _y4m_bytes(frames: list[np.ndarray], fps: int = 4) -> bytes:
+    """YUV4MPEG2 writer: BT.601 limited-range forward transform, 2x2 chroma
+    averaging (C420)."""
+    h, w, _ = frames[0].shape
+    out = bytearray(b"YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C420\n" % (w, h, fps))
+    for f in frames:
+        r, g, b = (f[..., c].astype(np.float64) for c in range(3))
+        y = 16.0 + 0.257 * r + 0.504 * g + 0.098 * b
+        u = 128.0 - 0.148 * r - 0.291 * g + 0.439 * b
+        v = 128.0 + 0.439 * r - 0.368 * g - 0.071 * b
+        out += b"FRAME\n"
+        out += np.clip(y + 0.5, 0, 255).astype(np.uint8).tobytes()
+        out += np.clip(u.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3)) + 0.5, 0, 255).astype(np.uint8).tobytes()
+        out += np.clip(v.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3)) + 0.5, 0, 255).astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def _image_frame(seed_parts: list[int]) -> np.ndarray:
+    """One structured 32x32 RGB frame (the generate_image_corpus_pandas
+    recipe factored out for video reuse)."""
+    rng = np.random.default_rng(np.random.SeedSequence(seed_parts))
+    yy, xx = np.mgrid[0:32, 0:32].astype(np.float64)
+    img = 60 + 40 * np.sin(xx / rng.uniform(3, 9)) + 40 * np.cos(yy / rng.uniform(3, 9))
+    for _ in range(rng.integers(2, 5)):
+        cx, cy, r = rng.uniform(0, 32), rng.uniform(0, 32), rng.uniform(3, 10)
+        img += rng.uniform(20, 80) * np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / (2 * r * r)))
+    chan = np.stack([img * rng.uniform(0.7, 1.0) for _ in range(3)], axis=-1)
+    return np.clip(chan, 0, 255).astype(np.uint8)
+
+
+def generate_video_corpus_pandas(n_rows: int, seed: int = 42) -> pd.DataFrame:
+    """Deterministic y4m videos with planted near-dup structure: each base is
+    4 structured frames at 1 fps; ~30% of bases get a variant sharing 3 of
+    the 4 frames (the frame-union shingle overlap must catch it)."""
+    rows = []
+    base_idx = 0
+    while len(rows) < n_rows:
+        rng = np.random.default_rng(np.random.SeedSequence([seed, 11, base_idx]))
+        frames = [_image_frame([seed, 11, base_idx, k]) for k in range(4)]
+        variants = [frames]
+        if rng.random() < 0.30 and len(rows) + 2 <= n_rows + 1:
+            alt = frames[:3] + [_image_frame([seed, 11, base_idx, 99])]
+            variants.append(alt)
+        for v_idx, fr in enumerate(variants):
+            if len(rows) >= n_rows:
+                break
+            rows.append((f"vid_{base_idx:06d}_{v_idx}", _y4m_bytes(fr, fps=1), 1.0, 4000, "y4m"))
+        base_idx += 1
+    return pd.DataFrame(rows, columns=list(VIDEOS_COLUMNS))

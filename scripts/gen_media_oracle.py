@@ -156,5 +156,113 @@ def main() -> None:
           f"candidates={len(counts)} confirmed={len(pdf)}")
 
 
+# ---------------------------------------------------------------------------
+# video (y4m) oracle
+# ---------------------------------------------------------------------------
+
+def decode_y4m_py(data: bytes) -> list[np.ndarray]:
+    """Pure-python YUV4MPEG2 container walk (engine: numpy frombuffer in
+    operators/multimodal._sample_y4m); the YUV->RGB float stage reuses the
+    spec's float32 numpy expression (module-docstring stance)."""
+    nl = data.find(b"\n")
+    fields = data[:nl].split()
+    assert fields[0] == b"YUV4MPEG2"
+    w = h = None
+    fps = 25.0
+    for f in fields[1:]:
+        if f[:1] == b"W":
+            w = int(f[1:])
+        elif f[:1] == b"H":
+            h = int(f[1:])
+        elif f[:1] == b"F":
+            num, den = f[1:].split(b":")
+            fps = int(num) / int(den)
+    csize = (w // 2) * ((h + 1) // 2)
+    frame_bytes = w * h + 2 * csize
+    step = max(1, int(round(fps * 1000 / 1000.0)))  # every_ms = 1000
+    pos, idx, frames = nl + 1, 0, []
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        assert data[pos:fnl].startswith(b"FRAME")
+        pos = fnl + 1
+        if idx % step == 0:
+            y = np.array(
+                [[data[pos + r * w + c] for c in range(w)] for r in range(h)], dtype=np.uint8
+            )
+            cw, ch = w // 2, (h + 1) // 2
+            ub = pos + w * h
+            vb = ub + csize
+            u = np.array([[data[ub + r * cw + c] for c in range(cw)] for r in range(ch)], dtype=np.uint8)
+            v = np.array([[data[vb + r * cw + c] for c in range(cw)] for r in range(ch)], dtype=np.uint8)
+            u2 = u.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+            v2 = v.repeat(2, axis=0).repeat(2, axis=1)[:h, :w]
+            yf = 1.164 * (y.astype(np.float32) - 16.0)
+            uf = u2.astype(np.float32) - 128.0
+            vf = v2.astype(np.float32) - 128.0
+            rgb = np.stack(
+                [yf + 1.596 * vf, yf - 0.392 * uf - 0.813 * vf, yf + 2.017 * uf], axis=-1
+            )
+            frames.append(np.clip(rgb + 0.5, 0, 255).astype(np.uint8))
+        pos += frame_bytes
+        idx += 1
+    return frames
+
+
+def gen_video_golden() -> None:
+    from consult_spark.datagen import generate_video_corpus_pandas
+
+    cfg = Config()
+    videos = generate_video_corpus_pandas(60, SEED)
+    sets: dict[str, set[int]] = {}
+    sims: dict[str, int] = {}
+    mins: dict[str, list[int]] = {}
+    for t in videos.itertuples(index=False):
+        frames = decode_y4m_py(bytes(t.bytes))
+        s: set[int] = set()
+        for f in frames:
+            s |= image_shingles_oracle(f)
+        sets[t.vid_id] = s
+        mins[t.vid_id] = minhash_set(s, cfg.n_hashes, cfg.minhash_seed)
+        sims[t.vid_id] = simhash_set(s, cfg.minhash_seed)
+
+    buckets: dict[tuple[int, int], list[str]] = {}
+    for vid, sig in mins.items():
+        if not sets[vid]:
+            continue
+        for l, bh in enumerate(band_hash_list(sig, cfg.n_bands, cfg.rows_per_band, cfg.band_seed)):
+            buckets.setdefault((l, bh), []).append(vid)
+    counts: dict[tuple[str, str], int] = {}
+    for members in buckets.values():
+        members = sorted(members)[: cfg.bucket_cap]
+        for i in range(len(members)):
+            for j in range(i + 1, len(members)):
+                p = (members[i], members[j])
+                counts[p] = counts.get(p, 0) + 1
+
+    thr = cfg.txt_jaccard_threshold
+    out = []
+    for (a, b), nb in sorted(counts.items()):
+        if nb < cfg.min_common_bands:
+            continue
+        sa, sb = truncate32(sets[a]), truncate32(sets[b])
+        ham = bin(sims[a] ^ sims[b]).count("1")
+        na, nbn = len(sa), len(sb)
+        if ham > cfg.simhash_prefilter_max or min(na, nbn) < thr * max(na, nbn):
+            continue
+        inter = len(sa & sb)
+        jac = inter / (na + nbn - inter) if (na or nbn) else 0.0
+        if jac >= thr:
+            out.append({"clip_a": a, "clip_b": b,
+                        "jaccard_micro": int(math.floor(1_000_000.0 * jac)),
+                        "hamming": ham})
+    pdf = pd.DataFrame(out).astype({"jaccard_micro": "int64", "hamming": "int64"})
+    videos.to_parquet(os.path.join(FIXTURE_DIR, "media_videos.parquet"), index=False)
+    pdf.to_parquet(os.path.join(FIXTURE_DIR, "oracle_video_confirmed.parquet"), index=False)
+    n_var = sum(1 for i in videos["vid_id"] if i.endswith("_1"))
+    print(f"videos={len(videos)} planted_variants={n_var} "
+          f"candidates={len(counts)} confirmed={len(pdf)}")
+
+
 if __name__ == "__main__":
     main()
+    gen_video_golden()

@@ -107,3 +107,21 @@ def test_media_golden_oracle_pin(spark):
     ids = set(generate_image_corpus_pandas(120, 42)["img_id"])
     planted = {(i[:-2] + "_0", i) for i in ids if i.endswith("_1")}
     assert planted <= pairs
+
+
+def test_video_golden_oracle_pin(spark):
+    """Engine video-dedup output == the independent oracle's golden table;
+    19 of the 20 planted 3/4-shared-frame variants clear the 0.60 threshold
+    (the 20th is borderline by construction — the spec's answer, both
+    sides)."""
+    import os
+
+    import __spark_entry__ as E
+
+    q = E.queries()["video_confirmed_pairs"]
+    got = sorted(tuple(r) for r in q(spark, "unused").collect())
+    fixture = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "fixtures", "oracle_video_confirmed.parquet"
+    )
+    exp = sorted(tuple(r) for r in spark.read.parquet(fixture).collect())
+    assert got == exp and len(got) >= 19
