@@ -64,3 +64,20 @@ def test_unique_clips_anti_join(spark):
     conf = spark.createDataFrame([("x", "y")], "clip_a string, clip_b string")
     got = {r["clip_id"] for r in unique_clips(clips, conf).collect()}
     assert got == {"z"}
+
+
+def test_driver_cc_empty_edges_and_typed_ids(spark, cfg):
+    """Driver-path CC edge cases: an empty edge set yields self-labeled
+    singletons, and non-string ids keep their type in the output schema
+    (round-2 ADVICE: the old path hardcoded strings)."""
+    from consult_spark.operators.cluster import assign_clusters, connected_components
+
+    clips = spark.createDataFrame([("a",), ("b",)], "clip_id string")
+    empty = spark.createDataFrame([], "clip_a string, clip_b string")
+    got = sorted(tuple(r) for r in assign_clusters(clips, empty, cfg).collect())
+    assert got == [("a", "a"), ("b", "b")]
+
+    ints = spark.createDataFrame([(1, 2), (2, 3)], "clip_a bigint, clip_b bigint")
+    cc = connected_components(ints, cfg)
+    assert cc.schema.simpleString() == "struct<clip_id:bigint,cluster_id:bigint>"
+    assert sorted(tuple(r) for r in cc.collect()) == [(1, 1), (2, 1), (3, 1)]
