@@ -39,31 +39,36 @@ def connected_components(edges: DataFrame, cfg: Config) -> DataFrame:
     Two physical strategies behind one contract (both produce the identical
     min-label result; test_cluster runs the suite against both):
 
-    * |E| <= cfg.cc_driver_max_edges: Arrow-collect (toPandas) + vectorized
-      min-label propagation on the driver.  Each distributed round costs
-      2 joins + a checkpoint barrier of fixed scheduler latency — a pure
-      serial term that caps strong scaling (measured ~20 s of the 240k-clip
-      pipeline regardless of cores).  A graph under the threshold is a
-      tens-of-MB Arrow batch and sub-second numpy work (factorize ids, then
-      the SAME min-label + pointer-jump iteration as the distributed path,
-      over in-memory arrays); the bound is a driver-memory bound, same
-      design as ann.MAX_BROADCAST_VECTORS.
+    * 2|pairs| <= cfg.cc_driver_max_edges: Arrow-collect (toPandas) of the
+      RAW canonical pairs + vectorized min-label propagation on the driver
+      (the in-memory update walks each edge in both directions, so no
+      symmetrize/distinct shuffle is ever paid on this path).  Each
+      distributed round costs 2 joins + a checkpoint barrier of fixed
+      scheduler latency — a pure serial term that caps strong scaling
+      (measured ~20 s of the 240k-clip pipeline regardless of cores).  A
+      graph under the threshold is a tens-of-MB Arrow batch and sub-second
+      numpy work (factorize ids, then the SAME min-label + pointer-jump
+      iteration as the distributed path, over in-memory arrays); the bound
+      is a driver-memory bound, same design as ann.MAX_BROADCAST_VECTORS.
     * above it: the O(log n)-round min-label + pointer-jumping loop — the
       path that scales to edge sets no driver can hold.
     """
-    sym = edges.select(
-        F.col("clip_a").alias("src"), F.col("clip_b").alias("dst")
-    ).union(edges.select(F.col("clip_b").alias("src"), F.col("clip_a").alias("dst")))
-    sym = sym.distinct().localCheckpoint(eager=True)
-
-    n_edges = sym.count()
-    if n_edges <= cfg.cc_driver_max_edges:
+    # the driver path needs neither the symmetrized table nor its distinct
+    # shuffle: the in-memory min-label update already propagates across each
+    # edge in BOTH directions, so it collects the raw canonical pairs —
+    # half the rows, zero extra shuffles, no checkpoint.  Only the
+    # distributed loop (joins are directional) builds `sym`.
+    n_pairs = edges.count()
+    if 2 * n_pairs <= cfg.cc_driver_max_edges:
         import numpy as np
         import pandas as pd
         from pyspark.sql.types import StructField, StructType
 
         spark = edges.sparkSession
-        pdf = sym.toPandas()  # Arrow batches, not per-Row deserialization
+        pdf = (
+            edges.select(F.col("clip_a").alias("src"), F.col("clip_b").alias("dst"))
+            .toPandas()  # Arrow batches, not per-Row deserialization
+        )
         # factorize(sort=True): code order == value order, so min over codes
         # == min over ids (lexical for strings, numeric for ints) — the same
         # tie-break as the distributed F.least path.
@@ -87,6 +92,11 @@ def connected_components(edges: DataFrame, cfg: Config) -> DataFrame:
             [StructField("clip_id", id_type), StructField("cluster_id", id_type)]
         )
         return spark.createDataFrame(out, schema=schema)
+
+    sym = edges.select(
+        F.col("clip_a").alias("src"), F.col("clip_b").alias("dst")
+    ).union(edges.select(F.col("clip_b").alias("src"), F.col("clip_a").alias("dst")))
+    sym = sym.distinct().localCheckpoint(eager=True)
 
     labels = (
         sym.groupBy("src")
