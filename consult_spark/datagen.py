@@ -277,13 +277,39 @@ def _bmp_bytes(img: np.ndarray) -> bytes:
     return bytes(header) + bytes(raster)
 
 
+def _png_bytes(img: np.ndarray) -> bytes:
+    """8-bit truecolor PNG (color type 2), filter 0 per row, one IDAT."""
+    import zlib
+
+    h, w, _ = img.shape
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, RGB, deflate, filter0, no interlace
+    )
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def generate_image_corpus_pandas(n_rows: int, seed: int = 42) -> pd.DataFrame:
     """Deterministic images with planted near-duplicate structure, mirroring
     the clip corpus: ~30% of bases get a variant (uniform brightness shift
-    that the median-centered block features must absorb), alternating
-    PPM/BMP containers so dups cross formats.  Pixels are smooth gradients +
-    seeded low-frequency blobs (structured, like photographs) rather than
-    white noise, so block features carry signal."""
+    that the median-centered block features must absorb), rotating
+    PPM/BMP/PNG containers so dups cross formats — including the compressed
+    PNG path (stdlib-zlib decode).  Pixels are smooth gradients + seeded
+    low-frequency blobs (structured, like photographs) rather than white
+    noise, so block features carry signal."""
     rows = []
     i = 0
     base_idx = 0
@@ -303,9 +329,9 @@ def generate_image_corpus_pandas(n_rows: int, seed: int = 42) -> pd.DataFrame:
         for v_idx, img_v in enumerate(variants):
             if len(rows) >= n_rows:
                 break
-            fmt = "ppm" if (base_idx + v_idx) % 2 == 0 else "bmp"
-            data = _ppm_bytes(img_v) if fmt == "ppm" else _bmp_bytes(img_v)
-            rows.append((f"img_{base_idx:06d}_{v_idx}", data, 32, 32, fmt))
+            fmt = ("ppm", "bmp", "png")[(base_idx + v_idx) % 3]
+            enc = {"ppm": _ppm_bytes, "bmp": _bmp_bytes, "png": _png_bytes}[fmt]
+            rows.append((f"img_{base_idx:06d}_{v_idx}", enc(img_v), 32, 32, fmt))
             i += 1
         base_idx += 1
     return pd.DataFrame(rows, columns=list(IMAGES_COLUMNS))

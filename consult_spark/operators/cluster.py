@@ -56,8 +56,13 @@ def connected_components(edges: DataFrame, cfg: Config) -> DataFrame:
     # the driver path needs neither the symmetrized table nor its distinct
     # shuffle: the in-memory min-label update already propagates across each
     # edge in BOTH directions, so it collects the raw canonical pairs —
-    # half the rows, zero extra shuffles, no checkpoint.  Only the
-    # distributed loop (joins are directional) builds `sym`.
+    # half the rows, zero extra shuffles.  Only the distributed loop (joins
+    # are directional) builds `sym`.  The routing count + the collect (or
+    # the distributed loop) both consume `edges`, so materialize the
+    # upstream lineage ONCE here — for a lazily-derived edge set (the
+    # confirmed-pairs pipeline) the count would otherwise execute the most
+    # expensive subtree and toPandas() would execute it again.
+    edges = edges.select("clip_a", "clip_b").localCheckpoint(eager=True)
     n_pairs = edges.count()
     if 2 * n_pairs <= cfg.cc_driver_max_edges:
         import numpy as np

@@ -3,15 +3,17 @@
 Per the training-data-pipeline contract, image and video payloads are
 treated exactly like audio: an opaque ``binary`` column plus typed metadata,
 processed by Arrow-batched UDFs.  The audio path (functions/audio.py) is
-fully real.  Image decode is REAL for the uncompressed formats that need no
-codec library — binary PPM (P6) and 24-bit BMP, parsed in pure numpy like
-the WAV container — so a planted-dup image pair flows decode -> shingle ->
-bands -> pairs -> verify end-to-end on real bytes (test_sources_multimodal).
-Compressed image formats (png/jpeg) and video decode require PIL/opencv/
-ffmpeg, absent from this environment, and remain STUBBED behind
-NotImplementedError with a deterministic-fake switch; the Spark-side
-plumbing (schemas, batch shapes, partitioning, UDF signatures, downstream
-dedup wiring) is identical either way.
+fully real.  Image decode is REAL for every format that needs no external
+codec library — binary PPM (P6) and 24-bit BMP parsed in pure numpy like
+the WAV container, and 8-bit PNG (color types 0/2/4/6) via stdlib zlib
+inflate + a numpy per-row unfilter — so a planted-dup image pair flows
+decode -> shingle -> bands -> pairs -> verify end-to-end on real bytes,
+including PNG<->BMP cross-format (test_sources_multimodal).  Formats whose
+codecs genuinely aren't in this image (jpeg/webp; h264 video) require
+PIL/opencv/ffmpeg and remain STUBBED behind NotImplementedError with a
+deterministic-fake switch; the Spark-side plumbing (schemas, batch shapes,
+partitioning, UDF signatures, downstream dedup wiring) is identical either
+way.
 
 Schemas:
   images(img_id string, bytes binary, width int, height int, format string)
@@ -61,6 +63,8 @@ def decode_image(data: bytes, fmt: str, deterministic_fake: bool = False) -> np.
         return _decode_ppm(data)
     if f == "bmp" or data[:2] == b"BM":
         return _decode_bmp(data)
+    if f == "png" or data[:8] == _PNG_SIG:
+        return _decode_png(data)
     raise NotImplementedError(
         f"image decode ({fmt!r}) requires PIL/opencv, absent from this "
         "environment; plug a decoder in here — the rest of the pipeline is real"
@@ -132,6 +136,121 @@ def _decode_bmp(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(px)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# channels per PNG color type (8-bit depth): gray, RGB, gray+alpha, RGBA
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png(data: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG (color types 0/2/4/6) -> HxWx3 uint8.
+
+    The one COMPRESSED mainstream format decodable with zero new
+    dependencies: stdlib ``zlib`` inflates the IDAT stream; the chunk walk
+    and the per-row unfilter (types 0-4) are numpy — the same pure-numpy
+    stance as the WAV/PPM/BMP/Y4M parsers.  Filters none/up vectorize over
+    the whole row; sub is a per-channel cumulative sum; average/paeth have a
+    nonlinear left+up recurrence, so those rows run a width-loop vectorized
+    across channels.  Palette (type 3), 16-bit depth, and Adam7 interlace
+    are rejected as ImageDecodeError (soft, per-image).  Gray replicates to
+    3 channels; alpha is dropped (dedup features are luminance-based).
+    """
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ImageDecodeError("not a PNG")
+    pos, n = 8, len(data)
+    w = h = None
+    color_type = None
+    idat = bytearray()
+    while pos + 8 <= n:
+        clen = int.from_bytes(data[pos : pos + 4], "big")
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) < clen or pos + 12 + clen > n:
+            raise ImageDecodeError("PNG chunk truncated")
+        crc = int.from_bytes(data[pos + 8 + clen : pos + 12 + clen], "big")
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ImageDecodeError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            if clen != 13:
+                raise ImageDecodeError("bad IHDR length")
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            bit_depth, color_type, comp, filt, interlace = body[8:13]
+            if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+                raise ImageDecodeError(
+                    f"unsupported PNG depth={bit_depth} color_type={color_type}"
+                )
+            if comp != 0 or filt != 0 or interlace != 0:
+                raise ImageDecodeError(
+                    f"unsupported PNG comp={comp} filter={filt} interlace={interlace}"
+                )
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if w is None or color_type is None or not idat:
+        raise ImageDecodeError("PNG missing IHDR/IDAT")
+    if w <= 0 or h <= 0:
+        raise ImageDecodeError(f"unsupported PNG geometry {w}x{h}")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ImageDecodeError(f"PNG inflate failed: {e}") from e
+    ch = _PNG_CHANNELS[color_type]
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise ImageDecodeError(
+            f"PNG raster size {len(raw)} != {h * (1 + stride)} for {w}x{h}x{ch}"
+        )
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    filters = rows[:, 0]
+    out = np.zeros((h, w, ch), dtype=np.uint8)
+    prev = np.zeros((w, ch), dtype=np.uint8)
+    for r in range(h):
+        f = int(filters[r])
+        cur = rows[r, 1:].reshape(w, ch)
+        if f == 0:  # None
+            rec = cur.copy()
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-1]  (per channel)
+            rec = np.cumsum(cur.astype(np.uint64), axis=0).astype(np.uint8)
+        elif f == 2:  # Up
+            rec = cur + prev
+        elif f == 3:  # Average: left+up recurrence -> width loop
+            rec = np.zeros_like(cur)
+            left = np.zeros(ch, dtype=np.int32)
+            up = prev.astype(np.int32)
+            for x in range(w):
+                left = (cur[x].astype(np.int32) + ((left + up[x]) >> 1)) & 0xFF
+                rec[x] = left.astype(np.uint8)
+        elif f == 4:  # Paeth
+            rec = np.zeros_like(cur)
+            left = np.zeros(ch, dtype=np.int32)
+            ul = np.zeros(ch, dtype=np.int32)
+            up = prev.astype(np.int32)
+            for x in range(w):
+                p = left + up[x] - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - up[x]), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up[x], ul)
+                )
+                left = (cur[x].astype(np.int32) + pred) & 0xFF
+                rec[x] = left.astype(np.uint8)
+                ul = up[x]
+        else:
+            raise ImageDecodeError(f"bad PNG filter type {f} on row {r}")
+        out[r] = rec
+        prev = rec
+    if color_type == 0:
+        return np.repeat(out, 3, axis=2)
+    if color_type == 4:
+        return np.repeat(out[..., :1], 3, axis=2)
+    if color_type == 6:
+        return np.ascontiguousarray(out[..., :3])
+    return out
+
+
 def _payload_seed(data: bytes) -> int:
     import hashlib
 
@@ -195,7 +314,11 @@ def _sample_y4m(data: bytes, every_ms: int) -> list[np.ndarray]:
     if not w or not h:
         raise ImageDecodeError("y4m header missing W/H")
     if cs.startswith(b"420"):
-        plane_sizes = (w * h, (w // 2) * ((h + 1) // 2), (w // 2) * ((h + 1) // 2))
+        # chroma planes are ceil(w/2) x ceil(h/2) — both dimensions round UP
+        # for odd sizes (an odd-width stream has a final half-width chroma
+        # column, same as the final half-height row)
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+        plane_sizes = (w * h, cw * ch, cw * ch)
     elif cs == b"mono":
         plane_sizes = (w * h,)
     else:
@@ -214,7 +337,6 @@ def _sample_y4m(data: bytes, every_ms: int) -> list[np.ndarray]:
         if idx % step == 0:
             y = np.frombuffer(data, np.uint8, w * h, pos).reshape(h, w)
             if len(plane_sizes) == 3:
-                cw, ch = w // 2, (h + 1) // 2
                 u = np.frombuffer(data, np.uint8, cw * ch, pos + plane_sizes[0]).reshape(ch, cw)
                 v = np.frombuffer(
                     data, np.uint8, cw * ch, pos + plane_sizes[0] + plane_sizes[1]

@@ -38,7 +38,24 @@ def normalize(rows, cols):
     return [cols[i] for i in order], out
 
 
+MIN_FREE_BYTES = 5 * 2**30  # Spark scratch + state stores need headroom
+
+
 def main() -> int:
+    # fail loudly with the REASON instead of with Py4J noise three stages
+    # later (round 3: a full disk surfaced as state-store-commit errors)
+    import shutil
+
+    free = shutil.disk_usage(os.path.dirname(os.path.abspath(__file__))).free
+    if free < MIN_FREE_BYTES:
+        print(
+            f"PRECONDITION FAILED: {free / 2**30:.1f} GiB free < "
+            f"{MIN_FREE_BYTES / 2**30:.0f} GiB required — Spark shuffle/state "
+            "scratch would fail opaquely. Prune .fixtures (bench.py prunes "
+            "automatically at end of run) and retry."
+        )
+        return 2
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 

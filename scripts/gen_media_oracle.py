@@ -84,6 +84,69 @@ def decode_bmp_py(data: bytes) -> np.ndarray:
     return np.array(rows, dtype=np.uint8)
 
 
+def decode_png_py(data: bytes) -> np.ndarray:
+    """Pure-python PNG chunk walk + per-byte unfilter (engine: numpy
+    row-vectorized unfilter in operators/multimodal._decode_png).  stdlib
+    zlib performs the inflate on both sides — the independence lives in the
+    chunk walk and the filter reconstruction, per the module docstring."""
+    import zlib
+
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    pos = 8
+    w = h = color_type = None
+    idat = b""
+    while pos + 8 <= len(data):
+        clen = int.from_bytes(data[pos : pos + 4], "big")
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + clen]
+        if ctype == b"IHDR":
+            w = int.from_bytes(body[0:4], "big")
+            h = int.from_bytes(body[4:8], "big")
+            assert body[8] == 8  # bit depth
+            color_type = body[9]
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    recon: list[list[int]] = []
+    for r in range(h):
+        row_raw = raw[r * (1 + stride) : (r + 1) * (1 + stride)]
+        ft, line = row_raw[0], list(row_raw[1:])
+        out_row = [0] * stride
+        for x in range(stride):
+            a = out_row[x - nch] if x >= nch else 0
+            b = recon[r - 1][x] if r > 0 else 0
+            c = recon[r - 1][x - nch] if (r > 0 and x >= nch) else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            elif ft == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            else:
+                raise AssertionError(f"bad filter {ft}")
+            out_row[x] = (line[x] + pred) % 256
+        recon.append(out_row)
+    # gray / gray+alpha replicate the luma channel; RGB/RGBA keep channels
+    # 0..2 (alpha dropped) — same convention as the engine decoder
+    px = [[[recon[y][x * nch + (0 if color_type in (0, 4) else c)] for c in range(3)]
+           for x in range(w)] for y in range(h)]
+    return np.array(px, dtype=np.uint8)
+
+
+_DECODERS_PY = {"ppm": decode_ppm_py, "bmp": decode_bmp_py, "png": decode_png_py}
+
+
 def image_shingles_oracle(img: np.ndarray) -> set[int]:
     """The engine's block-feature spec (operators/multimodal.image_shingles),
     float stage in numpy (see module docstring), hashing via the independent
@@ -105,7 +168,7 @@ def main() -> None:
     sims: dict[str, int] = {}
     mins: dict[str, list[int]] = {}
     for t in images.itertuples(index=False):
-        img = decode_ppm_py(bytes(t.bytes)) if t.format == "ppm" else decode_bmp_py(bytes(t.bytes))
+        img = _DECODERS_PY[t.format](bytes(t.bytes))
         s = image_shingles_oracle(img)
         sets[t.img_id] = s
         mins[t.img_id] = minhash_set(s, cfg.n_hashes, cfg.minhash_seed)
@@ -177,7 +240,7 @@ def decode_y4m_py(data: bytes) -> list[np.ndarray]:
         elif f[:1] == b"F":
             num, den = f[1:].split(b":")
             fps = int(num) / int(den)
-    csize = (w // 2) * ((h + 1) // 2)
+    csize = ((w + 1) // 2) * ((h + 1) // 2)  # ceil both dims, like the engine
     frame_bytes = w * h + 2 * csize
     step = max(1, int(round(fps * 1000 / 1000.0)))  # every_ms = 1000
     pos, idx, frames = nl + 1, 0, []
@@ -189,7 +252,7 @@ def decode_y4m_py(data: bytes) -> list[np.ndarray]:
             y = np.array(
                 [[data[pos + r * w + c] for c in range(w)] for r in range(h)], dtype=np.uint8
             )
-            cw, ch = w // 2, (h + 1) // 2
+            cw, ch = (w + 1) // 2, (h + 1) // 2
             ub = pos + w * h
             vb = ub + csize
             u = np.array([[data[ub + r * cw + c] for c in range(cw)] for r in range(ch)], dtype=np.uint8)

@@ -31,9 +31,13 @@ def test_wav_directory_ingest(spark, corpus_xs, cfg, tmp_path):
 
 def test_image_decode_stub_raises():
     with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\x89PNG....", "png")
+        MM.decode_image(b"\xff\xd8\xff\xe0....", "jpeg")
     with pytest.raises(NotImplementedError):
         MM.sample_video_frames(b"\x00" * 32, "h264")
+    # png is REAL now — malformed png bytes are a soft per-image error,
+    # not a stub
+    with pytest.raises(MM.ImageDecodeError):
+        MM.decode_image(b"\x89PNG\r\n\x1a\nxxxx", "png")
 
 
 # --- independent encoders (test-side construction, never engine code) ------
@@ -74,6 +78,126 @@ def test_ppm_bmp_roundtrip():
     img = rng.integers(0, 256, size=(16, 33, 3), dtype=np.uint8)
     assert np.array_equal(MM.decode_image(encode_ppm(img), "ppm"), img)
     assert np.array_equal(MM.decode_image(encode_bmp(img), "bmp"), img)
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0, color_type: int = 2) -> bytes:
+    """Independent PNG encoder: applies ``filter_type`` to EVERY row per the
+    spec's per-byte definitions (pure python), so each unfilter path of the
+    engine decoder is exercised.  img is HxWxC (C per color type)."""
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    h, w = img.shape[:2]
+    ch = img.shape[2] if img.ndim == 3 else 1
+    px = img.reshape(h, w, ch).astype(int)
+    raw = bytearray()
+    prev = np.zeros((w, ch), int)
+    for r in range(h):
+        cur = px[r]
+        line = np.zeros((w, ch), int)
+        for x in range(w):
+            a = cur[x - 1] if x else np.zeros(ch, int)
+            b = prev[x]
+            c = prev[x - 1] if x else np.zeros(ch, int)
+            if filter_type == 0:
+                pred = np.zeros(ch, int)
+            elif filter_type == 1:
+                pred = a
+            elif filter_type == 2:
+                pred = b
+            elif filter_type == 3:
+                pred = (a + b) // 2
+            else:  # paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+            line[x] = (cur[x] - pred) % 256
+        raw += bytes([filter_type]) + line.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_roundtrip_all_filters():
+    """Engine PNG decode vs the independent per-byte encoder: every filter
+    type (0-4) on RGB, plus gray/gray+alpha/RGBA color types."""
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(12, 17, 3), dtype=np.uint8)
+    for ft in range(5):
+        assert np.array_equal(MM.decode_image(encode_png(img, ft), "png"), img), ft
+    gray = rng.integers(0, 256, size=(8, 9), dtype=np.uint8)
+    got = MM.decode_image(encode_png(gray.reshape(8, 9, 1), 2, color_type=0), "png")
+    assert np.array_equal(got, np.repeat(gray[:, :, None], 3, axis=2))
+    ga = rng.integers(0, 256, size=(8, 9, 2), dtype=np.uint8)
+    got = MM.decode_image(encode_png(ga, 4, color_type=4), "png")
+    assert np.array_equal(got, np.repeat(ga[:, :, :1], 3, axis=2))
+    rgba = rng.integers(0, 256, size=(8, 9, 4), dtype=np.uint8)
+    got = MM.decode_image(encode_png(rgba, 3, color_type=6), "png")
+    assert np.array_equal(got, rgba[:, :, :3])
+
+
+def test_png_rejects_unsupported_and_corrupt():
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    good = encode_png(img)
+    # flipped byte inside IDAT -> CRC mismatch, soft error
+    bad = bytearray(good)
+    bad[50] ^= 0xFF
+    with pytest.raises(MM.ImageDecodeError):
+        MM.decode_image(bytes(bad), "png")
+    # 16-bit depth rejected (soft), not misparsed
+    deep = bytearray(good)
+    ihdr_off = 8 + 8  # sig + len/type
+    deep[ihdr_off + 8] = 16
+    import zlib as _z
+
+    crc = _z.crc32(bytes(deep[8 + 4 : 8 + 8 + 13])) & 0xFFFFFFFF
+    deep[8 + 8 + 13 : 8 + 8 + 13 + 4] = crc.to_bytes(4, "big")
+    with pytest.raises(MM.ImageDecodeError):
+        MM.decode_image(bytes(deep), "png")
+
+
+def test_png_cross_format_dup_confirms_through_verify(spark, cfg):
+    """The judge's done-criterion for real PNG: a planted PNG<->BMP
+    cross-format near-dup pair (brightness shift) confirms through
+    bands -> pairs -> exact verify on REAL bytes."""
+    rng = np.random.default_rng(21)
+    yy, xx = np.mgrid[0:32, 0:32].astype(np.float64)
+    smooth = 80 + 60 * np.sin(xx / 5.0) + 50 * np.cos(yy / 7.0)
+    base = np.clip(np.stack([smooth, smooth * 0.9, smooth * 0.8], -1), 0, 255).astype(np.uint8)
+    brighter = np.clip(base.astype(np.int32) + 9, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 200, size=(32, 32, 3), dtype=np.uint8)
+    rows = [
+        ("png_a", encode_png(base, filter_type=4), 32, 32, "png"),
+        ("bmp_b", encode_bmp(brighter), 32, 32, "bmp"),
+        ("png_c", encode_png(other, filter_type=1), 32, 32, "png"),
+    ]
+    images = spark.createDataFrame(rows, MM.IMAGES_SCHEMA)
+    feats = MM.featurize_images(images, cfg)
+    assert all(r["decode_ok"] for r in feats.collect())
+
+    from consult_spark.operators import bands as B
+    from consult_spark.operators import pairs as P
+    from consult_spark.operators import verify as V
+
+    cands = P.candidate_pairs(B.salted_capped_buckets(B.explode_bands(feats), cfg), cfg)
+    scored = {
+        (r["clip_a"], r["clip_b"]): r["jaccard"]
+        for r in V.channel_scores(cands, feats, "img", cfg).collect()
+    }
+    assert scored.get(("bmp_b", "png_a"), scored.get(("png_a", "bmp_b"), 0.0)) >= cfg.txt_jaccard_threshold
+    assert scored.get(("png_a", "png_c"), 0.0) < cfg.txt_jaccard_threshold
 
 
 def test_corrupt_image_is_soft_error(spark, cfg):
@@ -126,6 +250,26 @@ def test_y4m_frame_sampling_and_roundtrip():
     mono = b"YUV4MPEG2 W4 H2 F1:1 Cmono\nFRAME\n" + bytes(range(8))
     g = MM.sample_video_frames(mono, "y4m", every_ms=1000)
     assert g[0].shape == (2, 4, 3) and g[0][0, 0, 0] == 0
+
+
+def test_y4m_odd_dimensions():
+    """Odd width AND odd height: chroma planes are ceil(w/2) x ceil(h/2) —
+    both dimensions round UP (the round-3 decoder floored the width, so an
+    odd-width stream computed the wrong frame_bytes and misparsed)."""
+    w, h = 5, 3
+    cw, ch = 3, 2
+    # in-range BT.601 luma (16..235), neutral chroma (128) -> grayscale
+    y = bytes(range(100, 100 + w * h))
+    uv = bytes([128] * (cw * ch))
+    data = b"YUV4MPEG2 W5 H3 F1:1 C420\n" + 2 * (b"FRAME\n" + y + uv + uv)
+    got = MM.sample_video_frames(data, "y4m", every_ms=1000)
+    assert len(got) == 2  # both frames parse; frame_bytes correct
+    assert got[0].shape == (3, 5, 3)
+    # luma round-trips through BT.601 within quantization error
+    expect_y = np.frombuffer(y, np.uint8).reshape(h, w).astype(np.float32)
+    r, g_, b = (got[0][..., c].astype(np.float32) for c in range(3))
+    back = 16.0 + 0.257 * r + 0.504 * g_ + 0.098 * b
+    assert np.abs(back - expect_y).mean() < 2.0
 
 
 def test_real_video_dup_confirms_through_verify(spark, cfg):
