@@ -62,6 +62,73 @@ _WAV_FMT_PCM = 1
 _WAV_FMT_FLOAT = 3
 _WAV_FMT_ALAW = 6
 _WAV_FMT_MULAW = 7
+_WAV_FMT_IMA_ADPCM = 0x11  # DVI/IMA ADPCM — the common compressed-in-WAV format
+
+# IMA ADPCM tables (public spec: IMA ADPCM reference algorithm / RFC 3551
+# appendix; identical tables in every implementation)
+_IMA_STEP_TABLE = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484,
+    7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+    18500, 20350, 22385, 24623, 27086, 29794, 32767,
+], dtype=np.int32)
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _decode_ima_adpcm(raw: bytes, block_align: int, n_channels: int,
+                      n_total_samples: int | None = None) -> np.ndarray:
+    """Mono IMA/DVI ADPCM blocks -> float32 in [-1, 1].
+
+    Each block: 4-byte header (int16 predictor, uint8 step index, reserved)
+    then 4-bit nibbles, low nibble first.  The predictor recursion is
+    sequential WITHIN a block but independent ACROSS blocks, so the decode
+    loops over the ~2·(block_align-4) sample positions with every step
+    vectorized across all blocks — the same ragged-batch stance as the rest
+    of the decode kernels."""
+    if n_channels != 1:
+        raise AudioDecodeError(
+            f"IMA ADPCM with {n_channels} channels not supported (mono only)"
+        )
+    if block_align < 5:
+        raise AudioDecodeError(f"bad IMA ADPCM block_align={block_align}")
+    n_blocks = len(raw) // block_align
+    if n_blocks == 0:
+        raise AudioDecodeError("IMA ADPCM data shorter than one block")
+    blocks = np.frombuffer(
+        raw[: n_blocks * block_align], dtype=np.uint8
+    ).reshape(n_blocks, block_align)
+    pred = blocks[:, 0:2].copy().view("<i2")[:, 0].astype(np.int32)
+    index = blocks[:, 2].astype(np.int32)
+    if (index > 88).any():
+        raise AudioDecodeError("IMA ADPCM step index out of range")
+    body = blocks[:, 4:]
+    nibs = np.empty((n_blocks, (block_align - 4) * 2), dtype=np.uint8)
+    nibs[:, 0::2] = body & 0x0F
+    nibs[:, 1::2] = body >> 4
+    spb = nibs.shape[1] + 1  # header predictor is sample 0 of the block
+    out = np.empty((n_blocks, spb), dtype=np.int16)
+    out[:, 0] = pred.astype(np.int16)
+    for i in range(nibs.shape[1]):
+        n = nibs[:, i].astype(np.int32)
+        step = _IMA_STEP_TABLE[index]
+        diff = (
+            (step >> 3)
+            + np.where(n & 1, step >> 2, 0)
+            + np.where(n & 2, step >> 1, 0)
+            + np.where(n & 4, step, 0)
+        )
+        pred = np.clip(
+            np.where(n & 8, pred - diff, pred + diff), -32768, 32767
+        )
+        index = np.clip(index + _IMA_INDEX_TABLE[n & 7], 0, 88)
+        out[:, i + 1] = pred.astype(np.int16)
+    x = out.reshape(-1).astype(np.float32) / 32768.0
+    if n_total_samples is not None and 0 < n_total_samples <= x.shape[0]:
+        x = x[:n_total_samples]  # fact chunk trims the final-block padding
+    return x
 
 
 def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
@@ -70,9 +137,11 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
     (LIST/fact) don't break it.
 
     Sample formats decoded (all pure numpy — the codec zoo a WAV corpus
-    actually contains): PCM16, PCM8-unsigned, IEEE float32, and the G.711
-    telephony pair (mu-law / A-law).  Compressed codecs (mp3/opus/...) are
-    not WAV sample formats and stay behind decode_clip's stub."""
+    actually contains): PCM16, PCM8-unsigned, IEEE float32, the G.711
+    telephony pair (mu-law / A-law), and IMA/DVI ADPCM (fmt tag 0x11, the
+    most common compressed-in-WAV format in real archives; 4:1 compression).
+    Compressed non-WAV codecs (mp3/opus/...) stay behind decode_clip's
+    stub."""
     if len(data) < 12 or data[:4] != _RIFF or data[8:12] != _WAVE:
         raise AudioDecodeError("not a RIFF/WAVE container")
     pos = 12
@@ -80,6 +149,8 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
     n_channels = None
     bits = None
     fmt_tag = None
+    block_align = None
+    fact_samples = None
     raw = None
     n = len(data)
     while pos + 8 <= n:
@@ -90,12 +161,19 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
             fmt_tag = int.from_bytes(body[0:2], "little")
             n_channels = int.from_bytes(body[2:4], "little")
             sr = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
             bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"fact" and csize >= 4:
+            fact_samples = int.from_bytes(body[0:4], "little")
         elif cid == b"data":
             raw = body
         pos += 8 + csize + (csize % 2)  # chunks are word-aligned
     if sr is None or raw is None:
         raise AudioDecodeError("missing fmt/data chunk")
+    if fmt_tag == _WAV_FMT_IMA_ADPCM:
+        # ADPCM decodes straight to mono float; no channel mixdown below
+        return _decode_ima_adpcm(raw, block_align or 0, n_channels or 1,
+                                 fact_samples), sr
     if fmt_tag == _WAV_FMT_PCM and bits == 16:
         x = np.frombuffer(raw[: len(raw) - (len(raw) % 2)], dtype="<i2").astype(np.float32) / 32768.0
     elif fmt_tag == _WAV_FMT_PCM and bits == 8:
@@ -140,7 +218,8 @@ def decode_clip(data: bytes, codec: str) -> tuple[np.ndarray, int]:
     fn = _DECODERS.get(codec)
     if fn is not None:
         return fn(data)
-    if codec in ("pcm_s16le", "pcm_u8", "pcm_f32le", "pcm_mulaw", "pcm_alaw", "wav"):
+    if codec in ("pcm_s16le", "pcm_u8", "pcm_f32le", "pcm_mulaw", "pcm_alaw",
+                 "adpcm_ima_wav", "wav"):
         return decode_wav_pcm16(data)
     if codec in ("mp3", "opus", "aac", "flac", "vorbis"):
         raise NotImplementedError(
