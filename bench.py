@@ -96,12 +96,15 @@ def prune_fixture_cache(cap_bytes: int = CACHE_CAP_BYTES, root: str | None = Non
     return {"removed": removed, "kept_bytes": total}
 
 
-def bench_clips_path(spark, sf: float) -> tuple[str, int]:
-    """Deterministic synthetic clip corpus sized to sf, cached as parquet."""
+def bench_clips_path(spark, sf: float, hot_frac: float | None = None) -> tuple[str, int]:
+    """Deterministic synthetic clip corpus sized to sf, cached as parquet.
+    ``hot_frac`` plants a hot LSH clique of that fraction (skew bench);
+    None = the default corpus."""
     import shutil
 
     n = int(os.environ.get("SPARK_GRAFT_BENCH_CLIPS", max(2000, int(20000 * sf / 0.1))))
-    path = os.path.join(REPO, ".fixtures", f"clips_bench_{n}")
+    suffix = "" if hot_frac is None else f"_hot{hot_frac:g}"
+    path = os.path.join(REPO, ".fixtures", f"clips_bench_{n}{suffix}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         # refuse loudly instead of filling the disk (the round-3 failure
         # mode surfaced as Py4J noise three commands later)
@@ -115,7 +118,7 @@ def bench_clips_path(spark, sf: float) -> tuple[str, int]:
             )
         from consult_spark.datagen import generate_corpus_spark
 
-        clips, _ = generate_corpus_spark(spark, n, seed=42)
+        clips, _ = generate_corpus_spark(spark, n, seed=42, hot_frac=hot_frac)
         clips.write.mode("overwrite").parquet(path)
     return path, n
 
@@ -150,7 +153,7 @@ def _steal_ticks() -> int:
         return 0
 
 
-def run_audio_pipeline_e2e(spark, clips_path: str) -> dict:
+def run_audio_pipeline_e2e(spark, clips_path: str, drop_stats: bool = False) -> dict:
     """End-to-end timing with ONE action (clusters.count) — the shape used
     for the scaling-efficiency evidence, where per-stage counts would add
     serial overhead that isn't part of the pipeline."""
@@ -186,9 +189,7 @@ def run_audio_pipeline_e2e(spark, clips_path: str) -> dict:
     wall = time.time() - t0
     steal = _steal_ticks() - s0
     n_conf = confirmed.count()  # cached; untimed context stat
-    features.unpersist()
-    confirmed.unpersist()
-    return {
+    res = {
         "wall_sec": wall,
         "n_clips": n_clips,
         "clips_per_sec": n_clips / wall,
@@ -196,6 +197,20 @@ def run_audio_pipeline_e2e(spark, clips_path: str) -> dict:
         "n_confirmed": n_conf,
         "n_rows": n_rows,
     }
+    if drop_stats:
+        # untimed: cap-drop accounting (B16 semantics) for the skew evidence
+        from pyspark.sql import functions as F
+
+        stats = bands_op.bucket_stats(bands_op.explode_bands(features), cfg).persist()
+        agg = stats.agg(
+            F.sum("n_dropped").alias("d"), F.max("bucket_size").alias("m")
+        ).collect()[0]
+        res["n_dropped"] = int(agg["d"] or 0)
+        res["max_bucket_size"] = int(agg["m"] or 0)
+        stats.unpersist()
+    features.unpersist()
+    confirmed.unpersist()
+    return res
 
 
 def run_audio_pipeline(spark, clips_path: str) -> dict:
@@ -423,27 +438,107 @@ def run_scaling(repeats: int = 2) -> None:
         print(json.dumps({"cache_pruned": pruned}))
 
 
-def run_single_audio(cores: int, n_clips: int | None = None) -> None:
+def run_single_audio(cores: int, n_clips: int | None = None,
+                     hot_frac: float | None = None, drop_stats: bool = False) -> None:
     from consult_spark.session import get_spark
 
     spark = get_spark(f"bench_audio_{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
     if n_clips:
         os.environ["SPARK_GRAFT_BENCH_CLIPS"] = str(n_clips)
     sf = _sf_of(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    clips_path, _ = bench_clips_path(spark, sf)
+    clips_path, _ = bench_clips_path(spark, sf, hot_frac=hot_frac)
     warm_python_workers(spark)
-    res = run_audio_pipeline_e2e(spark, clips_path)
+    res = run_audio_pipeline_e2e(spark, clips_path, drop_stats=drop_stats)
     res = {k: (round(v, 3) if isinstance(v, float) else v) for k, v in res.items()}
     print(json.dumps(res))
     spark.stop()
 
 
+SKEW_HOT_FRAC = 0.01  # hottest key ~1% of all rows (the Zipf head)
+
+
+def run_skew(repeats: int = 2, cores: int = 16) -> None:
+    """Skew evidence at bench scale: the SAME pipeline on a uniform corpus
+    (hot_frac=0 — no planted clique) vs one whose hottest LSH key covers
+    ~1% of all rows.  The salted two-phase cap (bands.py, the B9 semantics,
+    main_map.cpp:592-623 precedent) must bound the hot bucket's pair
+    explosion: acceptance is hot wall time within ~1.2x of uniform at 16
+    cores, with the drops accounted (n_dropped > 0 only on the hot corpus).
+    Results -> BENCH/SKEW.md."""
+    variants = {"uniform": 0.0, "hot1pct": SKEW_HOT_FRAC}
+    results: dict[str, dict] = {}
+    all_runs: dict[str, list] = {}
+    env = dict(os.environ)
+    env.setdefault(
+        "CONSULT_SPARK_DRIVER_MEM", "48g" if SCALING_CLIPS > 500_000 else "16g"
+    )
+    for name, frac in variants.items():
+        runs = []
+        for _ in range(repeats):
+            cmd = [
+                "taskset", "-c", f"0-{cores - 1}",
+                sys.executable, __file__, "--single-audio", "--cores", str(cores),
+                "--n-clips", str(SCALING_CLIPS), "--hot-frac", str(frac),
+                "--drop-stats",
+            ]
+            out = subprocess.run(cmd, capture_output=True, text=True, check=False, env=env)
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            runs.append(json.loads(line))
+            print(f"{name}: {runs[-1]}")
+        all_runs[name] = runs
+        results[name] = min(runs, key=lambda r: r["wall_sec"])
+    ratio = results["hot1pct"]["wall_sec"] / results["uniform"]["wall_sec"]
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "SKEW.md"), "w") as f:
+        f.write(
+            "# Hot-key skew evidence (salted capped buckets under a Zipf head)\n\n"
+            f"Same end-to-end audio dedup pipeline at local[{cores}] (taskset-pinned,\n"
+            f"best of {repeats} fresh-JVM runs), {results['uniform']['n_clips']} clips.  The hot corpus\n"
+            f"plants a clique of near-identical clips = {SKEW_HOT_FRAC:.0%} of all rows, so its\n"
+            "members share every LSH band key — the planted Zipfian head.  The\n"
+            "two-phase salted cap (operators/bands.py, WindowGroupLimit plan,\n"
+            "asserted in tests/test_plans.py) keeps at most bucket_cap members per\n"
+            "bucket, so candidate pairs stay cap^2/2-bounded per bucket instead of\n"
+            "(0.01 n)^2/2.\n\n"
+            "| corpus | wall sec | clips/sec | max bucket size (pre-cap) | rows dropped by cap | steal ticks | runs (wall@steal) |\n"
+            "|---|---|---|---|---|---|---|\n"
+        )
+        for name in variants:
+            r = results[name]
+            hist = ", ".join(
+                f"{x['wall_sec']:.1f}@{x['steal_ticks']}" for x in all_runs[name]
+            )
+            f.write(
+                f"| {name} | {r['wall_sec']:.1f} | {r['clips_per_sec']:.1f} | "
+                f"{r['max_bucket_size']} | {r['n_dropped']} | {r['steal_ticks']} | {hist} |\n"
+            )
+        f.write(
+            f"\n**hot/uniform wall-time ratio: {ratio:.3f}** (acceptance <= ~1.2).\n\n"
+            "Confirmed-pair counts: uniform="
+            f"{results['uniform']['n_confirmed']}, hot={results['hot1pct']['n_confirmed']}\n"
+            "(the hot clique's members still confirm against each other through\n"
+            "the capped buckets — the cap bounds candidate generation, not recall\n"
+            "inside the clique, because every member shares EVERY band with the\n"
+            "clique representatives that survive the cap).\n"
+        )
+    print(json.dumps({"skew_ratio": round(ratio, 4)}))
+    if not os.environ.get("SPARK_GRAFT_KEEP_CACHE"):
+        pruned = prune_fixture_cache()
+        print(json.dumps({"cache_pruned": pruned}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--skew", action="store_true",
+                    help="uniform-vs-hot-key corpus comparison -> BENCH/SKEW.md")
     ap.add_argument("--single-audio", action="store_true")
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--n-clips", type=int, default=None)
+    ap.add_argument("--hot-frac", type=float, default=None,
+                    help="plant a hot clique of this fraction in the corpus")
+    ap.add_argument("--drop-stats", action="store_true",
+                    help="report cap-drop accounting (untimed) with --single-audio")
     ap.add_argument(
         "--keep-cache", action="store_true",
         help="skip the end-of-run fixture-cache prune (iterating on one tier)",
@@ -453,10 +548,14 @@ def main() -> None:
         os.environ["SPARK_GRAFT_KEEP_CACHE"] = "1"
     if args.single_audio:
         os.environ["SPARK_GRAFT_CPUS"] = str(args.cores)
-        run_single_audio(args.cores, args.n_clips)
+        run_single_audio(args.cores, args.n_clips, hot_frac=args.hot_frac,
+                         drop_stats=args.drop_stats)
         return
     if args.scaling:
         run_scaling()
+        return
+    if args.skew:
+        run_skew()
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     print(json.dumps(run_default(sf_dir)))

@@ -132,14 +132,22 @@ def _edit_transcript(s: str, rng: np.random.Generator) -> str:
 # corpus layout: pure driver-side bookkeeping, cheap at any scale
 # ----------------------------------------------------------------------
 
-def corpus_layout(n_rows: int, seed: int = 42) -> pd.DataFrame:
+def corpus_layout(n_rows: int, seed: int = 42, hot_frac: float | None = None) -> pd.DataFrame:
     """Plan the corpus: which rows exist, their group structure.
 
     Returns DataFrame(clip_id, base_idx, variant_idx, group_kind) where
     group_kind in ('solo','dup','hot'). variant_idx 0 = the base itself.
+
+    ``hot_frac`` sizes the hot clique (near-identical clips that all land in
+    the same LSH buckets — the planted Zipfian head): None keeps the
+    default ~0.5%; 0.0 removes the clique entirely (the uniform control for
+    skew benchmarks); e.g. 0.01 makes the hottest key ~1% of all rows.
     """
     rng = np.random.default_rng(np.random.SeedSequence([seed, 0xC0]))
-    n_hot = max(50, int(0.005 * n_rows)) if n_rows >= 100 else max(6, n_rows // 20)
+    if hot_frac is None:
+        n_hot = max(50, int(0.005 * n_rows)) if n_rows >= 100 else max(6, n_rows // 20)
+    else:
+        n_hot = int(hot_frac * n_rows)
     rows: list[tuple[str, int, int, str]] = []
     # hot clique: one base, n_hot near-identical members
     for j in range(n_hot):
@@ -229,11 +237,12 @@ def generate_corpus_pandas(n_rows: int, seed: int = 42) -> dict[str, pd.DataFram
     return {"clips": clips, "layout": layout, **t}
 
 
-def generate_corpus_spark(spark, n_rows: int, seed: int = 42, n_partitions: int | None = None):
+def generate_corpus_spark(spark, n_rows: int, seed: int = 42, n_partitions: int | None = None,
+                          hot_frac: float | None = None):
     """Executor-parallel generation (bench tiers): ship the layout, synthesize
     bytes inside mapInPandas. Deterministic under any partitioning because
     every row derives from its own SeedSequence."""
-    layout = corpus_layout(n_rows, seed)
+    layout = corpus_layout(n_rows, seed, hot_frac=hot_frac)
     # ~250 clips (~15 MB of WAV) per output file: enough files that a 32-core
     # local run and a many-executor cluster both get fine-grained tasks
     n_partitions = n_partitions or max(8, n_rows // 250)
