@@ -88,13 +88,22 @@ class Config:
 
     # ---- clustering ----
     cc_max_iters: int = 50
-    cc_driver_max_edges: int = 5_000_000  # below this, CC runs as a driver
-                                          # union-find (a ~100 MB collect)
-                                          # instead of paying fixed per-round
-                                          # scheduler latency; above it, the
-                                          # O(log n) distributed loop. Both
-                                          # produce the identical min-label
-                                          # result (tested on both paths).
+    cc_driver_max_edges: int = 20_000_000  # symmetrized-edge bound below which
+                                           # CC runs as a driver-side Arrow
+                                           # collect + numpy min-label instead
+                                           # of paying fixed per-round
+                                           # scheduler latency.  MEASURED
+                                           # (scripts/calibrate_cc_driver.py,
+                                           # docs/SCALE.md): the driver path
+                                           # is 2.6-5x faster than the
+                                           # distributed loop through at least
+                                           # 20M raw pairs; the binding
+                                           # constraint is driver RSS (~70 MB
+                                           # per 1M pairs), so the default
+                                           # bounds the collect at ~10M raw
+                                           # pairs = ~0.7 GB.  Both paths
+                                           # produce the identical min-label
+                                           # result (tested on both).
 
     # ---- misc determinism ----
     master_seed: int = 42
