@@ -137,12 +137,13 @@ def _decode_bmp(data: bytes) -> np.ndarray:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# channels per PNG color type (8-bit depth): gray, RGB, gray+alpha, RGBA
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# channels per PNG color type (8-bit depth): gray, RGB, palette, gray+alpha,
+# RGBA (palette rows are 1 byte/pixel of PLTE indices)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _decode_png(data: bytes) -> np.ndarray:
-    """8-bit non-interlaced PNG (color types 0/2/4/6) -> HxWx3 uint8.
+    """8-bit non-interlaced PNG (color types 0/2/3/4/6) -> HxWx3 uint8.
 
     The one COMPRESSED mainstream format decodable with zero new
     dependencies: stdlib ``zlib`` inflates the IDAT stream; the chunk walk
@@ -150,7 +151,8 @@ def _decode_png(data: bytes) -> np.ndarray:
     stance as the WAV/PPM/BMP/Y4M parsers.  Filters none/up vectorize over
     the whole row; sub is a per-channel cumulative sum; average/paeth have a
     nonlinear left+up recurrence, so those rows run a width-loop vectorized
-    across channels.  Palette (type 3), 16-bit depth, and Adam7 interlace
+    across channels.  Palette images (type 3) dereference PLTE after the
+    unfilter.  16-bit depth, sub-byte palette depths, and Adam7 interlace
     are rejected as ImageDecodeError (soft, per-image).  Gray replicates to
     3 channels; alpha is dropped (dedup features are luminance-based).
     """
@@ -161,6 +163,7 @@ def _decode_png(data: bytes) -> np.ndarray:
     pos, n = 8, len(data)
     w = h = None
     color_type = None
+    palette = None
     idat = bytearray()
     while pos + 8 <= n:
         clen = int.from_bytes(data[pos : pos + 4], "big")
@@ -185,6 +188,10 @@ def _decode_png(data: bytes) -> np.ndarray:
                 raise ImageDecodeError(
                     f"unsupported PNG comp={comp} filter={filt} interlace={interlace}"
                 )
+        elif ctype == b"PLTE":
+            if clen % 3 or clen > 768:
+                raise ImageDecodeError(f"bad PLTE length {clen}")
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -192,6 +199,8 @@ def _decode_png(data: bytes) -> np.ndarray:
         pos += 12 + clen
     if w is None or color_type is None or not idat:
         raise ImageDecodeError("PNG missing IHDR/IDAT")
+    if color_type == 3 and palette is None:
+        raise ImageDecodeError("palette PNG missing PLTE")
     if w <= 0 or h <= 0:
         raise ImageDecodeError(f"unsupported PNG geometry {w}x{h}")
     try:
@@ -244,6 +253,11 @@ def _decode_png(data: bytes) -> np.ndarray:
         prev = rec
     if color_type == 0:
         return np.repeat(out, 3, axis=2)
+    if color_type == 3:
+        idx = out[..., 0]
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            raise ImageDecodeError("PNG palette index out of range")
+        return palette[idx]
     if color_type == 4:
         return np.repeat(out[..., :1], 3, axis=2)
     if color_type == 6:

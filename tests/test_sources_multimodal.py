@@ -147,6 +147,43 @@ def test_png_roundtrip_all_filters():
     assert np.array_equal(got, rgba[:, :, :3])
 
 
+def test_png_palette_roundtrip():
+    """Color type 3: indices unfilter like any 1-channel row, then PLTE
+    dereference.  Independent encoder builds the PLTE chunk by hand."""
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    rng = np.random.default_rng(31)
+    palette = rng.integers(0, 256, size=(17, 3), dtype=np.uint8)
+    idx = rng.integers(0, 17, size=(9, 13), dtype=np.uint8)
+    h, w = idx.shape
+    raw = b"".join(b"\x00" + idx[r].tobytes() for r in range(h))
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    data = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    got = MM.decode_image(data, "png")
+    assert np.array_equal(got, palette[idx])
+    # out-of-range index -> soft error
+    bad_idx = idx.copy()
+    bad_idx[0, 0] = 200
+    raw2 = b"".join(b"\x00" + bad_idx[r].tobytes() for r in range(h))
+    bad = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette.tobytes())
+        + chunk(b"IDAT", zlib.compress(raw2)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(MM.ImageDecodeError):
+        MM.decode_image(bad, "png")
+
+
 def test_png_rejects_unsupported_and_corrupt():
     rng = np.random.default_rng(14)
     img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
