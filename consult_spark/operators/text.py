@@ -209,7 +209,14 @@ def simhash16(docs: DataFrame) -> DataFrame:
     return agg.select("doc_id", fp.cast("bigint").alias("simhash"))
 
 
-def simhash_band_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+MAX_SIMHASH16_DOCS = 20_000  # 16-bit fingerprint space = 65,536 values: at
+                             # n docs each band (4 bits) collides ~n/16 per
+                             # value, so candidates grow ~n^2/64 — fine as a
+                             # small-n oracle twin, quadratic at scale
+
+
+def simhash_band_pairs(docs: DataFrame, max_hamming: int = 3,
+                       max_docs: int = MAX_SIMHASH16_DOCS) -> DataFrame:
     """Pure-SimHash near-dup dedup (Manku et al., WWW'07 shape): the 16-bit
     fingerprint splits into 4 bands of 4 bits; documents sharing ANY
     (band, value) are candidates (a pair within hamming h misses only if
@@ -220,8 +227,18 @@ def simhash_band_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     the standalone fingerprint dedup path.  16 bits is the PORTABLE-oracle
     width: over a shared-vocabulary corpus it collides heavily (the
     fingerprint space is small), which is exactly why the engine's audio
-    path fingerprints at 64 bits (hashing.simhash_batch); use this shape
-    with the wider fingerprint in production."""
+    path fingerprints at 64 bits (hashing.simhash_batch).  GUARDED at
+    ``max_docs`` (one cheap count, the near_dup_auto/broadcast-guard
+    pattern): above it the 16-bit band join is quadratic-in-disguise and
+    the call fails loudly, routing to simhash64_band_pairs — the
+    production width — instead of melting a cluster."""
+    n = docs.count()
+    if n > max_docs:
+        raise ValueError(
+            f"simhash_band_pairs is the 16-bit ORACLE-PORTABLE shape: at "
+            f"{n} docs (> {max_docs}) its band candidates are ~n^2/64 — "
+            "use simhash64_band_pairs (production width) instead"
+        )
     s = simhash16(docs)
     bands = s.select(
         "doc_id",
