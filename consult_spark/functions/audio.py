@@ -80,36 +80,51 @@ _IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
 
 def _decode_ima_adpcm(raw: bytes, block_align: int, n_channels: int,
                       n_total_samples: int | None = None) -> np.ndarray:
-    """Mono IMA/DVI ADPCM blocks -> float32 in [-1, 1].
+    """Mono or stereo IMA/DVI ADPCM blocks -> float32 mono in [-1, 1].
 
-    Each block: 4-byte header (int16 predictor, uint8 step index, reserved)
-    then 4-bit nibbles, low nibble first.  The predictor recursion is
-    sequential WITHIN a block but independent ACROSS blocks, so the decode
-    loops over the ~2·(block_align-4) sample positions with every step
-    vectorized across all blocks — the same ragged-batch stance as the rest
-    of the decode kernels."""
-    if n_channels != 1:
+    Each block: one 4-byte header per channel (int16 predictor, uint8 step
+    index, reserved), then 4-bit nibbles low-first — contiguous for mono,
+    interleaved in 4-byte words per channel for stereo.  The predictor
+    recursion is sequential WITHIN a (block, channel) stream but
+    independent ACROSS them, so the decode loops over sample positions
+    with every step vectorized across all blocks x channels — the same
+    ragged-batch stance as the rest of the decode kernels.  Stereo mixes
+    down to mono (mean), like every other multi-channel WAV path."""
+    nch = n_channels
+    if nch not in (1, 2):
+        raise AudioDecodeError(f"IMA ADPCM with {nch} channels not supported")
+    hdr_len = 4 * nch
+    if block_align <= hdr_len or (block_align - hdr_len) % (4 * nch):
         raise AudioDecodeError(
-            f"IMA ADPCM with {n_channels} channels not supported (mono only)"
+            f"bad IMA ADPCM block_align={block_align} for {nch} channel(s)"
         )
-    if block_align < 5:
-        raise AudioDecodeError(f"bad IMA ADPCM block_align={block_align}")
     n_blocks = len(raw) // block_align
     if n_blocks == 0:
         raise AudioDecodeError("IMA ADPCM data shorter than one block")
     blocks = np.frombuffer(
         raw[: n_blocks * block_align], dtype=np.uint8
     ).reshape(n_blocks, block_align)
-    pred = blocks[:, 0:2].copy().view("<i2")[:, 0].astype(np.int32)
-    index = blocks[:, 2].astype(np.int32)
+    hdr = blocks[:, :hdr_len].reshape(n_blocks, nch, 4)
+    pred = (
+        np.ascontiguousarray(hdr[:, :, 0:2]).view("<i2")[:, :, 0]
+        .reshape(-1).astype(np.int32)
+    )  # (n_blocks * nch,) streams
+    index = hdr[:, :, 2].reshape(-1).astype(np.int32)
     if (index > 88).any():
         raise AudioDecodeError("IMA ADPCM step index out of range")
-    body = blocks[:, 4:]
-    nibs = np.empty((n_blocks, (block_align - 4) * 2), dtype=np.uint8)
-    nibs[:, 0::2] = body & 0x0F
-    nibs[:, 1::2] = body >> 4
-    spb = nibs.shape[1] + 1  # header predictor is sample 0 of the block
-    out = np.empty((n_blocks, spb), dtype=np.int16)
+    body = blocks[:, hdr_len:]
+    words_per_ch = body.shape[1] // (4 * nch)
+    # word j belongs to channel j % nch; gather each channel's bytes in order
+    ch_bytes = (
+        body.reshape(n_blocks, words_per_ch, nch, 4)
+        .transpose(0, 2, 1, 3)
+        .reshape(n_blocks * nch, words_per_ch * 4)
+    )
+    nibs = np.empty((ch_bytes.shape[0], ch_bytes.shape[1] * 2), dtype=np.uint8)
+    nibs[:, 0::2] = ch_bytes & 0x0F
+    nibs[:, 1::2] = ch_bytes >> 4
+    spb = nibs.shape[1] + 1  # header predictor is sample 0 of each stream
+    out = np.empty((n_blocks * nch, spb), dtype=np.int16)
     out[:, 0] = pred.astype(np.int16)
     for i in range(nibs.shape[1]):
         n = nibs[:, i].astype(np.int32)
@@ -125,7 +140,11 @@ def _decode_ima_adpcm(raw: bytes, block_align: int, n_channels: int,
         )
         index = np.clip(index + _IMA_INDEX_TABLE[n & 7], 0, 88)
         out[:, i + 1] = pred.astype(np.int16)
-    x = out.reshape(-1).astype(np.float32) / 32768.0
+    # (blocks*ch, spb) -> per-block channel mean -> contiguous sample stream
+    x = (
+        out.reshape(n_blocks, nch, spb).astype(np.float32).mean(axis=1)
+        .reshape(-1) / 32768.0
+    )
     if n_total_samples is not None and 0 < n_total_samples <= x.shape[0]:
         x = x[:n_total_samples]  # fact chunk trims the final-block padding
     return x

@@ -247,6 +247,75 @@ def test_ima_adpcm_fuzz_random_blocks():
         audio.decode_wav_pcm16(_wav_ima(bytes(bad), 8000, ba, n))
 
 
+def _ima_encode_channel(samples: list[int], step_index: int) -> tuple[list[int], list[int]]:
+    """One channel's nibbles for one block (reference, per-sample python).
+    Returns (nibbles, reconstructed_samples) — the reconstruction is the
+    golden expectation for the decoder."""
+    pred = samples[0]
+    recon = [pred]
+    nibbles = []
+    for s in samples[1:]:
+        step = _IMA_STEP[step_index]
+        diff = s - pred
+        nib = 0
+        if diff < 0:
+            nib = 8
+            diff = -diff
+        if diff >= step:
+            nib |= 4
+            diff -= step
+        if diff >= step >> 1:
+            nib |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            nib |= 1
+        d = (step >> 3) + ((step >> 2) if nib & 1 else 0) \
+            + ((step >> 1) if nib & 2 else 0) + (step if nib & 4 else 0)
+        pred = pred - d if nib & 8 else pred + d
+        pred = max(-32768, min(32767, pred))
+        step_index = max(0, min(88, step_index + _IMA_INDEX[nib & 7]))
+        nibbles.append(nib)
+        recon.append(pred)
+    return nibbles, recon
+
+
+def test_ima_adpcm_stereo_word_interleave():
+    """Stereo blocks: per-channel 4-byte headers then alternating 4-byte
+    words; the engine must de-interleave, decode each channel stream, and
+    mix down to the channel mean — golden-checked against the per-sample
+    reference reconstruction."""
+    rng = np.random.default_rng(23)
+    ba = 72
+    spb = (ba - 8) + 1  # stereo: (ba - 2*4) data bytes = 2*(spb-1) nibbles
+    n_blocks = 3
+    xl = np.clip(rng.normal(0, 0.3, size=n_blocks * spb), -1, 1)
+    xr = np.clip(rng.normal(0, 0.3, size=n_blocks * spb), -1, 1)
+    sl = [int(v) for v in np.clip(xl * 32768, -32768, 32767).astype(np.int64)]
+    sr_ = [int(v) for v in np.clip(xr * 32768, -32768, 32767).astype(np.int64)]
+    payload = bytearray()
+    expect = []
+    for b in range(n_blocks):
+        blk_l, blk_r = sl[b * spb : (b + 1) * spb], sr_[b * spb : (b + 1) * spb]
+        nl, rl = _ima_encode_channel(blk_l, 0)
+        nr, rr = _ima_encode_channel(blk_r, 0)
+        payload += int(blk_l[0]).to_bytes(2, "little", signed=True) + bytes([0, 0])
+        payload += int(blk_r[0]).to_bytes(2, "little", signed=True) + bytes([0, 0])
+        for g in range(len(nl) // 8):
+            for nibs in (nl[g * 8 : g * 8 + 8], nr[g * 8 : g * 8 + 8]):
+                for k in range(0, 8, 2):
+                    payload.append(nibs[k] | (nibs[k + 1] << 4))
+        expect.extend((a + b2) / 2.0 / 32768.0 for a, b2 in zip(rl, rr))
+    n = n_blocks * spb
+    fmt = struct.pack("<HHIIHHHH", 0x11, 2, 8000, 8000 * ba // spb, ba, 4, 2, spb)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"fact" + struct.pack("<II", 4, n)
+    chunks += b"data" + struct.pack("<I", len(payload)) + bytes(payload)
+    wav = b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    got, sr = audio.decode_wav_pcm16(wav)
+    assert sr == 8000 and len(got) == n
+    assert np.allclose(got, np.array(expect, dtype=np.float32), atol=1e-7)
+
+
 def test_ima_adpcm_near_dup_pair_confirms_e2e(spark, cfg):
     """The judge's done-criterion: a planted near-dup pair at 30 dB SNR
     where one side is an IMA-ADPCM WAV (decoded for real inside the Spark
