@@ -31,18 +31,24 @@ def stream_windowed_counts(
     window_dur: str = "1 minute",
     max_lateness: str = "2 minutes",
     max_files_per_trigger: int = 1,
+    slide: str | None = None,
 ):
     """events parquet dir -> append-only finalized (window, user_id,
     n_events, sum_cents) parquet.  Windows are emitted exactly once, only
-    after the watermark (max event time - max_lateness) passes their end."""
+    after the watermark (max event time - max_lateness) passes their end.
+    ``slide`` makes the windows SLIDING (each event lands in
+    window_dur/slide overlapping windows); None = tumbling."""
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(events_dir)
     )
+    win = (
+        F.window("ts", window_dur, slide) if slide else F.window("ts", window_dur)
+    )
     agg = (
         stream.withWatermark("ts", max_lateness)
-        .groupBy(F.window("ts", window_dur).alias("win"), "user_id")
+        .groupBy(win.alias("win"), "user_id")
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias("sum_cents"),

@@ -63,6 +63,36 @@ def test_windowed_counts_drop_late_events(spark, tmp_path):
     assert (15, 2) not in got
 
 
+def test_sliding_windows_overlap(spark, tmp_path):
+    """slide < window_dur: each event lands in every overlapping window
+    (2-minute windows sliding by 1 minute -> 2 windows per event), each
+    finalized independently by the watermark."""
+    events_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t = lambda m, s: datetime(2026, 1, 1, 10, m, s)  # noqa: E731
+
+    def run():
+        q = stream_windowed_counts(
+            spark, events_dir, out_dir, ckpt,
+            window_dur="2 minutes", slide="1 minute", max_files_per_trigger=16,
+        )
+        q.awaitTermination(120)
+
+    # one event at 10:01:30 -> belongs to [10:00,10:02) and [10:01,10:03)
+    _append(spark, events_dir, [(1, 1, t(1, 30), 1.0)])
+    run()
+    # advance the watermark far enough to finalize both windows
+    _append(spark, events_dir, [(2, 1, t(10, 0), 2.0)])
+    run()
+    got = {
+        (r["window_start"].minute, r["window_end"].minute): (r["n_events"], r["sum_cents"])
+        for r in spark.read.parquet(os.path.join(out_dir, "windowed")).collect()
+        if r["window_start"].minute < 5
+    }
+    assert got == {(0, 2): (1, 100), (1, 3): (1, 100)}
+
+
 def test_session_windows_merge_and_drop_late(spark, tmp_path):
     """Session windows: a bridging event MERGES two open sessions of the
     same user (the gap-merge semantics tumbling windows can't express); a
