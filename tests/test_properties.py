@@ -121,3 +121,106 @@ def test_wav_pcm16_roundtrip_property(samples, sr):
     got, got_sr = audio.decode_wav_pcm16(wav)
     assert got_sr == sr and got.shape[0] == x.shape[0]
     assert np.abs(np.clip(x, -1, 1) * 32767 / 32768.0 - got).max() <= 1.0 / 32768.0 + 1e-7
+
+
+# --- round-4 decoder properties: PNG mixed per-row filters, ADPCM --------
+
+def _encode_png_mixed(img, filters, color_type=2):
+    """Independent per-byte PNG encoder applying a CHOSEN filter PER ROW
+    (real encoders mix filters row-by-row; the single-filter test encoder
+    in test_sources_multimodal never exercises row transitions)."""
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    h, w, ch = img.shape
+    px = img.astype(int)
+    raw = bytearray()
+    prev = np.zeros((w, ch), int)
+    for r in range(h):
+        ft = filters[r % len(filters)]
+        cur = px[r]
+        line = np.zeros((w, ch), int)
+        for x in range(w):
+            a = cur[x - 1] if x else np.zeros(ch, int)
+            b = prev[x]
+            c = prev[x - 1] if x else np.zeros(ch, int)
+            if ft == 0:
+                pred = np.zeros(ch, int)
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+            line[x] = (cur[x] - pred) % 256
+        raw += bytes([ft]) + line.astype(np.uint8).tobytes()
+        prev = cur
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, color_type, 0, 0, 0])
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),   # height
+    st.integers(min_value=1, max_value=12),   # width
+    st.lists(st.integers(min_value=0, max_value=4), min_size=1, max_size=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_mixed_per_row_filters_roundtrip(h, w, filters, seed):
+    """Decode(encode(img)) == img for ANY per-row filter sequence — the
+    filter state (prev row) must thread correctly across rows that switch
+    filter types, including 1-pixel-wide images where left refs vanish."""
+    from consult_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    got = MM.decode_image(_encode_png_mixed(img, filters), "png")
+    assert np.array_equal(got, img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**32 - 1),
+    st.sampled_from([12, 20, 256]),           # block_align
+    st.integers(min_value=1, max_value=4),    # n_blocks
+)
+def test_ima_adpcm_vectorized_equals_sequential(seed, ba, n_blocks):
+    """The block-vectorized IMA-ADPCM decoder must agree bit-exactly with
+    a per-nibble sequential walk for arbitrary nibble streams with valid
+    headers (mono)."""
+    rng = np.random.default_rng(seed)
+    payload = bytearray(rng.integers(0, 256, size=n_blocks * ba, dtype=np.uint8).tobytes())
+    for b in range(n_blocks):
+        payload[b * ba + 2] = int(rng.integers(0, 89))
+        payload[b * ba + 3] = 0
+    got = audio._decode_ima_adpcm(bytes(payload), ba, 1)
+    step_t = audio._IMA_STEP_TABLE.tolist()
+    idx_t = audio._IMA_INDEX_TABLE.tolist()
+    ref = []
+    for b0 in range(0, n_blocks * ba, ba):
+        blk = bytes(payload[b0 : b0 + ba])
+        pred = int.from_bytes(blk[0:2], "little", signed=True)
+        index = blk[2]
+        ref.append(pred)
+        for byte in blk[4:]:
+            for nib in (byte & 0x0F, byte >> 4):
+                step = step_t[index]
+                d = (step >> 3) + ((step >> 2) if nib & 1 else 0) \
+                    + ((step >> 1) if nib & 2 else 0) + (step if nib & 4 else 0)
+                pred = pred - d if nib & 8 else pred + d
+                pred = max(-32768, min(32767, pred))
+                index = max(0, min(88, index + idx_t[nib & 7]))
+                ref.append(pred)
+    assert np.array_equal(got, np.array(ref, dtype=np.float32) / 32768.0)
