@@ -197,6 +197,15 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
         x = np.frombuffer(raw[: len(raw) - (len(raw) % 2)], dtype="<i2").astype(np.float32) / 32768.0
     elif fmt_tag == _WAV_FMT_PCM and bits == 8:
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    elif fmt_tag == _WAV_FMT_PCM and bits == 24:
+        # 3-byte little-endian signed: widen to int32 via a zero pad byte,
+        # then arithmetic-shift the pad back out (vectorized, no loop)
+        b3 = np.frombuffer(raw[: len(raw) - (len(raw) % 3)], dtype=np.uint8).reshape(-1, 3)
+        padded = np.zeros((b3.shape[0], 4), dtype=np.uint8)
+        padded[:, 1:] = b3
+        x = (padded.view("<i4")[:, 0] >> 8).astype(np.float32) / 8388608.0
+    elif fmt_tag == _WAV_FMT_PCM and bits == 32:
+        x = np.frombuffer(raw[: len(raw) - (len(raw) % 4)], dtype="<i4").astype(np.float32) / 2147483648.0
     elif fmt_tag == _WAV_FMT_FLOAT and bits == 32:
         x = np.frombuffer(raw[: len(raw) - (len(raw) % 4)], dtype="<f4").astype(np.float32)
     elif fmt_tag == _WAV_FMT_MULAW and bits == 8:

@@ -91,6 +91,27 @@ def test_pcm8_roundtrip():
     assert _snr(x, got) > 35  # 8-bit linear quantization noise
 
 
+def test_pcm24_roundtrip():
+    """3-byte little-endian signed PCM: reference encoder packs per-sample
+    bytes by hand; the vectorized pad-and-shift decode must invert it."""
+    x = _signal()
+    vals = np.clip(x * 8388607, -8388608, 8388607).astype(np.int64)
+    payload = b"".join(int(v).to_bytes(3, "little", signed=True) for v in vals)
+    got, _ = audio.decode_wav_pcm16(_wav(1, 24, 8000, payload))
+    assert _snr(x, got) > 80
+    # exact negative-value handling (sign extension through the pad byte)
+    neg = b"".join(int(v).to_bytes(3, "little", signed=True) for v in (-1, -8388608, 8388607))
+    got, _ = audio.decode_wav_pcm16(_wav(1, 24, 8000, neg))
+    assert np.allclose(got * 8388608.0, [-1, -8388608, 8388607])
+
+
+def test_pcm32_roundtrip():
+    x = _signal()
+    payload = np.clip(x * 2147483647, -2**31, 2**31 - 1).astype("<i4").tobytes()
+    got, _ = audio.decode_wav_pcm16(_wav(1, 32, 8000, payload))
+    assert _snr(x, got) > 100
+
+
 def test_float32_roundtrip():
     x = _signal()
     got, _ = audio.decode_wav_pcm16(_wav(3, 32, 8000, x.astype("<f4").tobytes()))

@@ -66,3 +66,17 @@ def test_parquet_normalizer_matches_testdata(spark):
     assert {r["doc_id"] for r in docs.select("doc_id").collect()} == {
         r["doc_id"] for r in raw.select("doc_id").collect()
     }
+
+
+def test_jsonl_gzip_transparent(spark, tmp_path):
+    """Web corpora ship as *.jsonl.gz; Spark's text source inflates gzip
+    transparently per file (each .gz is one non-splittable task — fine for
+    many-file corpora). The reader must need no special-casing."""
+    import gzip
+
+    p = tmp_path / "docs.jsonl.gz"
+    docs = [{"doc_id": i, "text": f"compressed doc number {i}"} for i in range(5)]
+    with gzip.open(p, "wt") as f:
+        f.write("\n".join(json.dumps(d) for d in docs) + "\n")
+    rows = {r["doc_id"]: r["text"] for r in read_documents_jsonl(spark, str(p)).collect()}
+    assert rows == {i: f"compressed doc number {i}" for i in range(5)}
