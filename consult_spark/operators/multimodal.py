@@ -276,8 +276,9 @@ def sample_video_frames(data: bytes, codec: str, every_ms: int = 1000,
     """bytes -> frames sampled every ``every_ms``, each HxWx3 uint8 RGB.
 
     REAL path: YUV4MPEG2 (.y4m) — the uncompressed video container, parsed
-    in pure numpy (header + FRAME markers + raw 4:2:0/mono planes, BT.601
-    limited-range conversion), the video analog of the PPM/BMP image path.
+    in pure numpy (header + FRAME markers + raw 4:2:0/4:2:2/4:4:4/mono
+    planes, BT.601 limited-range conversion), the video analog of the
+    PPM/BMP image path.
     Compressed codecs (h264/vp9/av1) require ffmpeg bindings, absent here,
     and stay stubbed behind NotImplementedError."""
     if deterministic_fake:
@@ -291,10 +292,12 @@ def sample_video_frames(data: bytes, codec: str, every_ms: int = 1000,
     )
 
 
-def _yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray) -> np.ndarray:
-    """BT.601 limited-range YCbCr -> RGB uint8; chroma nearest-upsampled 2x."""
-    u2 = u.repeat(2, axis=0).repeat(2, axis=1)[: y.shape[0], : y.shape[1]]
-    v2 = v.repeat(2, axis=0).repeat(2, axis=1)[: y.shape[0], : y.shape[1]]
+def _yuv420_to_rgb(y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                   rep_y: int = 2, rep_x: int = 2) -> np.ndarray:
+    """BT.601 limited-range YCbCr -> RGB uint8; chroma nearest-upsampled by
+    (rep_y, rep_x) — (2,2) for 4:2:0, (1,2) for 4:2:2, (1,1) for 4:4:4."""
+    u2 = u.repeat(rep_y, axis=0).repeat(rep_x, axis=1)[: y.shape[0], : y.shape[1]]
+    v2 = v.repeat(rep_y, axis=0).repeat(rep_x, axis=1)[: y.shape[0], : y.shape[1]]
     yf = 1.164 * (y.astype(np.float32) - 16.0)
     uf = u2.astype(np.float32) - 128.0
     vf = v2.astype(np.float32) - 128.0
@@ -332,11 +335,18 @@ def _sample_y4m(data: bytes, every_ms: int) -> list[np.ndarray]:
         # for odd sizes (an odd-width stream has a final half-width chroma
         # column, same as the final half-height row)
         cw, ch = (w + 1) // 2, (h + 1) // 2
-        plane_sizes = (w * h, cw * ch, cw * ch)
+        rep = (2, 2)
+    elif cs.startswith(b"422"):
+        cw, ch = (w + 1) // 2, h
+        rep = (1, 2)
+    elif cs.startswith(b"444"):
+        cw, ch = w, h
+        rep = (1, 1)
     elif cs == b"mono":
-        plane_sizes = (w * h,)
+        cw = ch = 0
     else:
         raise ImageDecodeError(f"unsupported y4m chroma sampling C{cs.decode()}")
+    plane_sizes = (w * h, cw * ch, cw * ch) if cw else (w * h,)
     frame_bytes = sum(plane_sizes)
     step = max(1, int(round(fps * every_ms / 1000.0)))
     frames: list[np.ndarray] = []
@@ -355,7 +365,7 @@ def _sample_y4m(data: bytes, every_ms: int) -> list[np.ndarray]:
                 v = np.frombuffer(
                     data, np.uint8, cw * ch, pos + plane_sizes[0] + plane_sizes[1]
                 ).reshape(ch, cw)
-                frames.append(_yuv420_to_rgb(y, u, v))
+                frames.append(_yuv420_to_rgb(y, u, v, *rep))
             else:
                 frames.append(np.repeat(y[:, :, None], 3, axis=2))
         pos += frame_bytes

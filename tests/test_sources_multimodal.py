@@ -309,6 +309,39 @@ def test_y4m_odd_dimensions():
     assert np.abs(back - expect_y).mean() < 2.0
 
 
+def test_y4m_422_and_444_chroma():
+    """C422 (half-width chroma, full height) and C444 (full-res chroma)
+    parse with the right plane sizes and recover luma through BT.601."""
+    w, h = 6, 4
+    y = bytes(range(100, 100 + w * h))
+    expect_y = np.frombuffer(y, np.uint8).reshape(h, w).astype(np.float32)
+
+    def luma_err(frame):
+        r, g, b = (frame[..., c].astype(np.float32) for c in range(3))
+        back = 16.0 + 0.257 * r + 0.504 * g + 0.098 * b
+        return np.abs(back - expect_y).mean()
+
+    u422 = bytes([128] * ((w // 2) * h))
+    d422 = b"YUV4MPEG2 W6 H4 F1:1 C422\nFRAME\n" + y + u422 + u422
+    got = MM.sample_video_frames(d422, "y4m", every_ms=1000)
+    assert got[0].shape == (h, w, 3) and luma_err(got[0]) < 2.0
+
+    u444 = bytes([128] * (w * h))
+    d444 = b"YUV4MPEG2 W6 H4 F1:1 C444\nFRAME\n" + y + u444 + u444
+    got = MM.sample_video_frames(d444, "y4m", every_ms=1000)
+    assert got[0].shape == (h, w, 3) and luma_err(got[0]) < 2.0
+
+    # non-neutral full-res chroma must NOT be subsampled away in C444:
+    # a single saturated chroma pixel shifts only its own RGB pixel
+    u1 = bytearray(u444)
+    u1[0] = 240
+    d444c = b"YUV4MPEG2 W6 H4 F1:1 C444\nFRAME\n" + y + bytes(u1) + u444
+    g = MM.sample_video_frames(d444c, "y4m", every_ms=1000)[0]
+    base = MM.sample_video_frames(d444, "y4m", every_ms=1000)[0]
+    diff_px = np.abs(g.astype(int) - base.astype(int)).sum(axis=2) > 0
+    assert diff_px[0, 0] and diff_px.sum() == 1
+
+
 def test_real_video_dup_confirms_through_verify(spark, cfg):
     """Planted near-dup VIDEO pair on real y4m bytes: decode -> per-frame
     shingles -> frame union -> bands -> pairs -> exact-Jaccard verify."""
