@@ -354,6 +354,29 @@ SCALING_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", "480000"))
 SCALING_LEVELS = (4, 16)  # N and 4N
 
 
+def _burn_seconds(seconds: float) -> None:
+    t0 = time.time()
+    while time.time() - t0 < seconds:
+        pass
+
+
+def _steal_probe(cores: int, seconds: float = 15.0) -> int:
+    """Burn `cores` pinned cores for `seconds` and return the steal-tick
+    delta — a hypervisor-conditions reading taken immediately BEFORE each
+    timed run (a run's own steal ticks only partially proxy co-tenant
+    pressure; recording the probe makes the measurement window auditable)."""
+    import multiprocessing as mp
+
+    s0 = _steal_ticks()
+    try:
+        os.sched_setaffinity(0, set(range(cores)))
+    except (AttributeError, OSError, ValueError):
+        pass
+    with mp.Pool(cores) as p:
+        p.map(_burn_seconds, [seconds] * cores)
+    return _steal_ticks() - s0
+
+
 def run_scaling(repeats: int = 2) -> None:
     """local[N] vs local[4N] on the identical audio-pipeline input.
 
@@ -388,6 +411,7 @@ def run_scaling(repeats: int = 2) -> None:
     for cores in SCALING_LEVELS:
         runs = []
         for _ in range(repeats):
+            probe = _steal_probe(cores)
             cmd = [
                 "taskset", "-c", f"0-{cores - 1}",
                 sys.executable, __file__, "--single-audio", "--cores", str(cores),
@@ -395,7 +419,7 @@ def run_scaling(repeats: int = 2) -> None:
             ]
             out = subprocess.run(cmd, capture_output=True, text=True, check=False, env=env)
             line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-            runs.append(json.loads(line))
+            runs.append({**json.loads(line), "probe_steal": probe})
             print(f"cores={cores}: {runs[-1]}")
         all_runs[cores] = runs
         results[cores] = min(runs, key=lambda r: r["wall_sec"])
@@ -417,7 +441,8 @@ def run_scaling(repeats: int = 2) -> None:
         for cores in SCALING_LEVELS:
             r = results[cores]
             hist = ", ".join(
-                f"{x['wall_sec']:.1f}@{x['steal_ticks']}" for x in all_runs[cores]
+                f"{x['wall_sec']:.1f}@{x['steal_ticks']}(probe {x.get('probe_steal', '?')})"
+                for x in all_runs[cores]
             )
             f.write(
                 f"| local[{cores}] | {r['wall_sec']:.1f} | {r['clips_per_sec']:.1f} | "
