@@ -143,7 +143,8 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _decode_png(data: bytes) -> np.ndarray:
-    """8-bit non-interlaced PNG (color types 0/2/3/4/6) -> HxWx3 uint8.
+    """Non-interlaced PNG (8-bit color types 0/2/3/4/6; 1/2/4-bit gray and
+    palette) -> HxWx3 uint8.
 
     The one COMPRESSED mainstream format decodable with zero new
     dependencies: stdlib ``zlib`` inflates the IDAT stream; the chunk walk
@@ -152,9 +153,12 @@ def _decode_png(data: bytes) -> np.ndarray:
     the whole row; sub is a per-channel cumulative sum; average/paeth have a
     nonlinear left+up recurrence, so those rows run a width-loop vectorized
     across channels.  Palette images (type 3) dereference PLTE after the
-    unfilter.  16-bit depth, sub-byte palette depths, and Adam7 interlace
-    are rejected as ImageDecodeError (soft, per-image).  Gray replicates to
-    3 channels; alpha is dropped (dedup features are luminance-based).
+    unfilter; sub-byte depths (1/2/4-bit gray or palette — the common web
+    icon shape) unfilter in the byte domain (PNG's bpp-rounds-up-to-1
+    rule) and then unpack MSB-first bit groups.  16-bit depth and Adam7
+    interlace are rejected as ImageDecodeError (soft, per-image).  Gray
+    replicates to 3 channels (sub-byte gray scaled to full range); alpha
+    is dropped (dedup features are luminance-based).
     """
     import zlib
 
@@ -180,7 +184,10 @@ def _decode_png(data: bytes) -> np.ndarray:
             w = int.from_bytes(body[0:4], "big")
             h = int.from_bytes(body[4:8], "big")
             bit_depth, color_type, comp, filt, interlace = body[8:13]
-            if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+            ok_depth = bit_depth == 8 or (
+                bit_depth in (1, 2, 4) and color_type in (0, 3)
+            )
+            if not ok_depth or color_type not in _PNG_CHANNELS:
                 raise ImageDecodeError(
                     f"unsupported PNG depth={bit_depth} color_type={color_type}"
                 )
@@ -208,18 +215,26 @@ def _decode_png(data: bytes) -> np.ndarray:
     except zlib.error as e:
         raise ImageDecodeError(f"PNG inflate failed: {e}") from e
     ch = _PNG_CHANNELS[color_type]
-    stride = w * ch
+    if bit_depth == 8:
+        stride = w * ch
+        units, bpp = w, ch  # filter step = one pixel of ch bytes
+    else:
+        # sub-byte gray/palette: filters operate on BYTES with a 1-byte
+        # step (PNG spec: bpp rounds up to 1); pixels unpack afterwards
+        stride = (w * bit_depth + 7) // 8
+        units, bpp = stride, 1
     if len(raw) != h * (1 + stride):
         raise ImageDecodeError(
-            f"PNG raster size {len(raw)} != {h * (1 + stride)} for {w}x{h}x{ch}"
+            f"PNG raster size {len(raw)} != {h * (1 + stride)} for "
+            f"{w}x{h} depth={bit_depth} ct={color_type}"
         )
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
     filters = rows[:, 0]
-    out = np.zeros((h, w, ch), dtype=np.uint8)
-    prev = np.zeros((w, ch), dtype=np.uint8)
+    out = np.zeros((h, units, bpp), dtype=np.uint8)
+    prev = np.zeros((units, bpp), dtype=np.uint8)
     for r in range(h):
         f = int(filters[r])
-        cur = rows[r, 1:].reshape(w, ch)
+        cur = rows[r, 1:].reshape(units, bpp)
         if f == 0:  # None
             rec = cur.copy()
         elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-1]  (per channel)
@@ -228,17 +243,17 @@ def _decode_png(data: bytes) -> np.ndarray:
             rec = cur + prev
         elif f == 3:  # Average: left+up recurrence -> width loop
             rec = np.zeros_like(cur)
-            left = np.zeros(ch, dtype=np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
             up = prev.astype(np.int32)
-            for x in range(w):
+            for x in range(units):
                 left = (cur[x].astype(np.int32) + ((left + up[x]) >> 1)) & 0xFF
                 rec[x] = left.astype(np.uint8)
         elif f == 4:  # Paeth
             rec = np.zeros_like(cur)
-            left = np.zeros(ch, dtype=np.int32)
-            ul = np.zeros(ch, dtype=np.int32)
+            left = np.zeros(bpp, dtype=np.int32)
+            ul = np.zeros(bpp, dtype=np.int32)
             up = prev.astype(np.int32)
-            for x in range(w):
+            for x in range(units):
                 p = left + up[x] - ul
                 pa, pb, pc = np.abs(p - left), np.abs(p - up[x]), np.abs(p - ul)
                 pred = np.where(
@@ -251,6 +266,19 @@ def _decode_png(data: bytes) -> np.ndarray:
             raise ImageDecodeError(f"bad PNG filter type {f} on row {r}")
         out[r] = rec
         prev = rec
+    if bit_depth < 8:
+        # MSB-first bit groups -> per-pixel values, truncated to width
+        bits = np.unpackbits(out.reshape(h, stride), axis=1)
+        vals = bits[:, : w * bit_depth].reshape(h, w, bit_depth)
+        weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint8)
+        px = (vals * weights).sum(axis=2).astype(np.uint8)
+        if color_type == 3:
+            if int(px.max(initial=0)) >= palette.shape[0]:
+                raise ImageDecodeError("PNG palette index out of range")
+            return palette[px]
+        # gray: scale to full 8-bit range (max sub-byte value -> 255)
+        scaled = (px.astype(np.uint16) * 255 // ((1 << bit_depth) - 1)).astype(np.uint8)
+        return np.repeat(scaled[:, :, None], 3, axis=2)
     if color_type == 0:
         return np.repeat(out, 3, axis=2)
     if color_type == 3:

@@ -184,6 +184,81 @@ def test_png_palette_roundtrip():
         MM.decode_image(bad, "png")
 
 
+def encode_png_subbyte(values: np.ndarray, bit_depth: int, color_type: int,
+                       palette: np.ndarray | None = None,
+                       filters: list[int] | None = None) -> bytes:
+    """Independent sub-byte PNG encoder: pack MSB-first bit groups into
+    row bytes, then apply the chosen per-row filter in the BYTE domain
+    (bpp=1 per spec for depths < 8)."""
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    h, w = values.shape
+    stride = (w * bit_depth + 7) // 8
+    raw = bytearray()
+    prev = [0] * stride
+    for r in range(h):
+        bits = []
+        for v in values[r]:
+            bits.extend((int(v) >> (bit_depth - 1 - i)) & 1 for i in range(bit_depth))
+        bits.extend([0] * (stride * 8 - len(bits)))
+        rowb = [
+            sum(bits[i * 8 + j] << (7 - j) for j in range(8)) for i in range(stride)
+        ]
+        ft = (filters or [0])[r % len(filters or [0])]
+        line = []
+        for x in range(stride):
+            a = rowb[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            line.append((rowb[x] - pred) % 256)
+        raw += bytes([ft]) + bytes(line)
+        prev = rowb
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([bit_depth, color_type, 0, 0, 0])
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", palette.tobytes())
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_subbyte_depths():
+    """1/2/4-bit gray and palette PNGs (web icons) round-trip through the
+    byte-domain unfilter + bit unpack, with mixed per-row filters."""
+    rng = np.random.default_rng(41)
+    for d in (1, 2, 4):
+        maxv = (1 << d) - 1
+        vals = rng.integers(0, maxv + 1, size=(7, 11), dtype=np.uint8)
+        # gray: values scale to full range, replicated to 3 channels
+        got = MM.decode_image(
+            encode_png_subbyte(vals, d, 0, filters=[0, 1, 2, 3, 4]), "png"
+        )
+        expect = (vals.astype(np.uint16) * 255 // maxv).astype(np.uint8)
+        assert np.array_equal(got, np.repeat(expect[:, :, None], 3, axis=2)), f"gray d={d}"
+        # palette: values index PLTE
+        pal = rng.integers(0, 256, size=(maxv + 1, 3), dtype=np.uint8)
+        got = MM.decode_image(
+            encode_png_subbyte(vals, d, 3, palette=pal, filters=[4, 2, 1]), "png"
+        )
+        assert np.array_equal(got, pal[vals]), f"palette d={d}"
+
+
 def test_png_rejects_unsupported_and_corrupt():
     rng = np.random.default_rng(14)
     img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
