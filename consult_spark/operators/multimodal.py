@@ -155,10 +155,11 @@ def _decode_png(data: bytes) -> np.ndarray:
     across channels.  Palette images (type 3) dereference PLTE after the
     unfilter; sub-byte depths (1/2/4-bit gray or palette — the common web
     icon shape) unfilter in the byte domain (PNG's bpp-rounds-up-to-1
-    rule) and then unpack MSB-first bit groups.  16-bit depth and Adam7
-    interlace are rejected as ImageDecodeError (soft, per-image).  Gray
-    replicates to 3 channels (sub-byte gray scaled to full range); alpha
-    is dropped (dedup features are luminance-based).
+    rule) and then unpack MSB-first bit groups; 16-bit samples keep the
+    high byte (the standard 8-bit downsample).  Adam7 interlace is
+    rejected as ImageDecodeError (soft, per-image).  Gray replicates to
+    3 channels (sub-byte gray scaled to full range); alpha is dropped
+    (dedup features are luminance-based).
     """
     import zlib
 
@@ -184,8 +185,10 @@ def _decode_png(data: bytes) -> np.ndarray:
             w = int.from_bytes(body[0:4], "big")
             h = int.from_bytes(body[4:8], "big")
             bit_depth, color_type, comp, filt, interlace = body[8:13]
-            ok_depth = bit_depth == 8 or (
-                bit_depth in (1, 2, 4) and color_type in (0, 3)
+            ok_depth = (
+                bit_depth == 8
+                or (bit_depth in (1, 2, 4) and color_type in (0, 3))
+                or (bit_depth == 16 and color_type != 3)
             )
             if not ok_depth or color_type not in _PNG_CHANNELS:
                 raise ImageDecodeError(
@@ -218,6 +221,9 @@ def _decode_png(data: bytes) -> np.ndarray:
     if bit_depth == 8:
         stride = w * ch
         units, bpp = w, ch  # filter step = one pixel of ch bytes
+    elif bit_depth == 16:
+        stride = w * ch * 2
+        units, bpp = w, ch * 2  # filter step = one pixel of 2*ch bytes
     else:
         # sub-byte gray/palette: filters operate on BYTES with a 1-byte
         # step (PNG spec: bpp rounds up to 1); pixels unpack afterwards
@@ -266,6 +272,10 @@ def _decode_png(data: bytes) -> np.ndarray:
             raise ImageDecodeError(f"bad PNG filter type {f} on row {r}")
         out[r] = rec
         prev = rec
+    if bit_depth == 16:
+        # big-endian 16-bit samples -> keep the high byte (the standard
+        # 8-bit downsample; dedup features are 8-bit-luminance-based)
+        out = np.ascontiguousarray(out.reshape(h, w, ch, 2)[..., 0])
     if bit_depth < 8:
         # MSB-first bit groups -> per-pixel values, truncated to width
         bits = np.unpackbits(out.reshape(h, stride), axis=1)

@@ -268,7 +268,7 @@ def test_png_rejects_unsupported_and_corrupt():
     bad[50] ^= 0xFF
     with pytest.raises(MM.ImageDecodeError):
         MM.decode_image(bytes(bad), "png")
-    # 16-bit depth rejected (soft), not misparsed
+    # 16-bit IHDR over an 8-bit raster -> size mismatch, soft error
     deep = bytearray(good)
     ihdr_off = 8 + 8  # sig + len/type
     deep[ihdr_off + 8] = 16
@@ -278,6 +278,49 @@ def test_png_rejects_unsupported_and_corrupt():
     deep[8 + 8 + 13 : 8 + 8 + 13 + 4] = crc.to_bytes(4, "big")
     with pytest.raises(MM.ImageDecodeError):
         MM.decode_image(bytes(deep), "png")
+    # Adam7 interlace rejected (soft)
+    inter = bytearray(good)
+    inter[ihdr_off + 12] = 1
+    crc = _z.crc32(bytes(inter[8 + 4 : 8 + 8 + 13])) & 0xFFFFFFFF
+    inter[8 + 8 + 13 : 8 + 8 + 13 + 4] = crc.to_bytes(4, "big")
+    with pytest.raises(MM.ImageDecodeError):
+        MM.decode_image(bytes(inter), "png")
+
+
+def test_png_16bit_high_byte_downsample():
+    """16-bit samples (big-endian) decode to their high byte — RGB and
+    gray+alpha, with a non-trivial filter so the 2*ch-byte filter step is
+    exercised."""
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    rng = np.random.default_rng(47)
+    hi = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    lo = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    px16 = (hi.astype(np.uint16) << 8) | lo
+    h, w, _ = hi.shape
+    # filter 2 (Up) on every row after the first
+    raw = bytearray()
+    prev = np.zeros(w * 6, dtype=np.uint8)
+    for r in range(h):
+        rowb = px16[r].astype(">u2").tobytes()
+        arr = np.frombuffer(rowb, dtype=np.uint8)
+        if r == 0:
+            raw += b"\x00" + rowb
+        else:
+            raw += b"\x02" + ((arr - prev) % 256).astype(np.uint8).tobytes()
+        prev = arr
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([16, 2, 0, 0, 0])
+    data = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(MM.decode_image(data, "png"), hi)
 
 
 def test_png_cross_format_dup_confirms_through_verify(spark, cfg):
