@@ -137,6 +137,56 @@ def _decode_bmp(data: bytes) -> np.ndarray:
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# Adam7 interlace pass origins and steps: (x0, y0, dx, dy)
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(rows: np.ndarray, units: int, bpp: int) -> np.ndarray:
+    """(n_rows, 1 + units*bpp) filtered scanlines -> (n_rows, units, bpp)
+    reconstructed bytes.  Filters none/up vectorize over the row; sub is a
+    per-channel cumulative sum; average/paeth run a width loop vectorized
+    across the bpp filter step."""
+    n_rows = rows.shape[0]
+    out = np.zeros((n_rows, units, bpp), dtype=np.uint8)
+    prev = np.zeros((units, bpp), dtype=np.uint8)
+    for r in range(n_rows):
+        f = int(rows[r, 0])
+        cur = rows[r, 1:].reshape(units, bpp)
+        if f == 0:  # None
+            rec = cur.copy()
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-1]  (per channel)
+            rec = np.cumsum(cur.astype(np.uint64), axis=0).astype(np.uint8)
+        elif f == 2:  # Up
+            rec = cur + prev
+        elif f == 3:  # Average: left+up recurrence -> width loop
+            rec = np.zeros_like(cur)
+            left = np.zeros(bpp, dtype=np.int32)
+            up = prev.astype(np.int32)
+            for x in range(units):
+                left = (cur[x].astype(np.int32) + ((left + up[x]) >> 1)) & 0xFF
+                rec[x] = left.astype(np.uint8)
+        elif f == 4:  # Paeth
+            rec = np.zeros_like(cur)
+            left = np.zeros(bpp, dtype=np.int32)
+            ul = np.zeros(bpp, dtype=np.int32)
+            up = prev.astype(np.int32)
+            for x in range(units):
+                p = left + up[x] - ul
+                pa, pb, pc = np.abs(p - left), np.abs(p - up[x]), np.abs(p - ul)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up[x], ul)
+                )
+                left = (cur[x].astype(np.int32) + pred) & 0xFF
+                rec[x] = left.astype(np.uint8)
+                ul = up[x]
+        else:
+            raise ImageDecodeError(f"bad PNG filter type {f} on row {r}")
+        out[r] = rec
+        prev = rec
+    return out
 # channels per PNG color type (8-bit depth): gray, RGB, palette, gray+alpha,
 # RGBA (palette rows are 1 byte/pixel of PLTE indices)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
@@ -156,10 +206,12 @@ def _decode_png(data: bytes) -> np.ndarray:
     unfilter; sub-byte depths (1/2/4-bit gray or palette — the common web
     icon shape) unfilter in the byte domain (PNG's bpp-rounds-up-to-1
     rule) and then unpack MSB-first bit groups; 16-bit samples keep the
-    high byte (the standard 8-bit downsample).  Adam7 interlace is
-    rejected as ImageDecodeError (soft, per-image).  Gray replicates to
-    3 channels (sub-byte gray scaled to full range); alpha is dropped
-    (dedup features are luminance-based).
+    high byte (the standard 8-bit downsample).  Adam7 interlace decodes
+    at depths 8/16 (seven passes, each unfiltered independently then
+    scattered into place); sub-byte interlace is rejected as
+    ImageDecodeError (soft, per-image).  Gray replicates to 3 channels
+    (sub-byte gray scaled to full range); alpha is dropped (dedup
+    features are luminance-based).
     """
     import zlib
 
@@ -194,9 +246,14 @@ def _decode_png(data: bytes) -> np.ndarray:
                 raise ImageDecodeError(
                     f"unsupported PNG depth={bit_depth} color_type={color_type}"
                 )
-            if comp != 0 or filt != 0 or interlace != 0:
+            if comp != 0 or filt != 0 or interlace not in (0, 1):
                 raise ImageDecodeError(
                     f"unsupported PNG comp={comp} filter={filt} interlace={interlace}"
+                )
+            if interlace == 1 and bit_depth < 8:
+                # sub-byte Adam7 passes bit-pack per pass row — out of scope
+                raise ImageDecodeError(
+                    f"unsupported PNG: interlaced at depth {bit_depth}"
                 )
         elif ctype == b"PLTE":
             if clen % 3 or clen > 768:
@@ -229,49 +286,35 @@ def _decode_png(data: bytes) -> np.ndarray:
         # step (PNG spec: bpp rounds up to 1); pixels unpack afterwards
         stride = (w * bit_depth + 7) // 8
         units, bpp = stride, 1
-    if len(raw) != h * (1 + stride):
-        raise ImageDecodeError(
-            f"PNG raster size {len(raw)} != {h * (1 + stride)} for "
-            f"{w}x{h} depth={bit_depth} ct={color_type}"
-        )
-    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
-    filters = rows[:, 0]
-    out = np.zeros((h, units, bpp), dtype=np.uint8)
-    prev = np.zeros((units, bpp), dtype=np.uint8)
-    for r in range(h):
-        f = int(filters[r])
-        cur = rows[r, 1:].reshape(units, bpp)
-        if f == 0:  # None
-            rec = cur.copy()
-        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-1]  (per channel)
-            rec = np.cumsum(cur.astype(np.uint64), axis=0).astype(np.uint8)
-        elif f == 2:  # Up
-            rec = cur + prev
-        elif f == 3:  # Average: left+up recurrence -> width loop
-            rec = np.zeros_like(cur)
-            left = np.zeros(bpp, dtype=np.int32)
-            up = prev.astype(np.int32)
-            for x in range(units):
-                left = (cur[x].astype(np.int32) + ((left + up[x]) >> 1)) & 0xFF
-                rec[x] = left.astype(np.uint8)
-        elif f == 4:  # Paeth
-            rec = np.zeros_like(cur)
-            left = np.zeros(bpp, dtype=np.int32)
-            ul = np.zeros(bpp, dtype=np.int32)
-            up = prev.astype(np.int32)
-            for x in range(units):
-                p = left + up[x] - ul
-                pa, pb, pc = np.abs(p - left), np.abs(p - up[x]), np.abs(p - ul)
-                pred = np.where(
-                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up[x], ul)
-                )
-                left = (cur[x].astype(np.int32) + pred) & 0xFF
-                rec[x] = left.astype(np.uint8)
-                ul = up[x]
-        else:
-            raise ImageDecodeError(f"bad PNG filter type {f} on row {r}")
-        out[r] = rec
-        prev = rec
+    if interlace == 0:
+        if len(raw) != h * (1 + stride):
+            raise ImageDecodeError(
+                f"PNG raster size {len(raw)} != {h * (1 + stride)} for "
+                f"{w}x{h} depth={bit_depth} ct={color_type}"
+            )
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+        out = _png_unfilter(rows, units, bpp)
+    else:
+        # Adam7: 7 sub-images, each its own filtered scanline sequence;
+        # unfilter each pass with the same machinery, scatter into place
+        out = np.zeros((h, w, bpp), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            pstride = pw * bpp
+            need = ph * (1 + pstride)
+            if off + need > len(raw):
+                raise ImageDecodeError("PNG interlaced raster truncated")
+            rows = np.frombuffer(
+                raw, dtype=np.uint8, count=need, offset=off
+            ).reshape(ph, 1 + pstride)
+            out[y0::dy, x0::dx] = _png_unfilter(rows, pw, bpp)
+            off += need
+        if off != len(raw):
+            raise ImageDecodeError("PNG interlaced raster has trailing bytes")
     if bit_depth == 16:
         # big-endian 16-bit samples -> keep the high byte (the standard
         # 8-bit downsample; dedup features are 8-bit-luminance-based)

@@ -278,13 +278,72 @@ def test_png_rejects_unsupported_and_corrupt():
     deep[8 + 8 + 13 : 8 + 8 + 13 + 4] = crc.to_bytes(4, "big")
     with pytest.raises(MM.ImageDecodeError):
         MM.decode_image(bytes(deep), "png")
-    # Adam7 interlace rejected (soft)
+    # interlace flag over a NON-interlaced raster -> pass-size mismatch,
+    # soft error (real Adam7 streams decode; see test_png_adam7_interlace)
     inter = bytearray(good)
     inter[ihdr_off + 12] = 1
     crc = _z.crc32(bytes(inter[8 + 4 : 8 + 8 + 13])) & 0xFFFFFFFF
     inter[8 + 8 + 13 : 8 + 8 + 13 + 4] = crc.to_bytes(4, "big")
     with pytest.raises(MM.ImageDecodeError):
         MM.decode_image(bytes(inter), "png")
+
+
+def test_png_adam7_interlace():
+    """Real Adam7 streams: the 7 passes (built by an independent encoder
+    slicing the image with the spec's offsets/strides, each pass filtered
+    independently with a different filter type) reassemble to the original
+    — including widths/heights that leave some passes empty."""
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    rng = np.random.default_rng(53)
+    for h, w in ((10, 13), (3, 3), (1, 9), (8, 1)):
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        raw = bytearray()
+        for pi, (x0, y0, dx, dy) in enumerate(passes):
+            sub = np.ascontiguousarray(img[y0::dy, x0::dx])
+            if sub.size == 0:
+                continue
+            ph, pw, ch = sub.shape
+            ft = pi % 5
+            px = sub.astype(int)
+            prev = np.zeros((pw, ch), int)
+            for r in range(ph):
+                cur = px[r]
+                line = np.zeros((pw, ch), int)
+                for x in range(pw):
+                    a = cur[x - 1] if x else np.zeros(ch, int)
+                    b = prev[x]
+                    c = prev[x - 1] if x else np.zeros(ch, int)
+                    if ft == 0:
+                        pred = np.zeros(ch, int)
+                    elif ft == 1:
+                        pred = a
+                    elif ft == 2:
+                        pred = b
+                    elif ft == 3:
+                        pred = (a + b) // 2
+                    else:
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = np.where((pa <= pb) & (pa <= pc), a,
+                                        np.where(pb <= pc, b, c))
+                    line[x] = (cur[x] - pred) % 256
+                raw += bytes([ft]) + line.astype(np.uint8).tobytes()
+                prev = cur
+        ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + bytes([8, 2, 0, 0, 1]))  # interlace = 1
+        data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+        got = MM.decode_image(data, "png")
+        assert np.array_equal(got, img), f"{h}x{w}"
 
 
 def test_png_16bit_high_byte_downsample():
