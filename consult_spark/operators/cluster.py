@@ -62,6 +62,14 @@ def connected_components(edges: DataFrame, cfg: Config) -> DataFrame:
     # upstream lineage ONCE here — for a lazily-derived edge set (the
     # confirmed-pairs pipeline) the count would otherwise execute the most
     # expensive subtree and toPandas() would execute it again.
+    # NOTE localCheckpoint trades fault-tolerance for speed: the truncated
+    # lineage is unrecoverable if an executor holding blocks dies, so on a
+    # real cluster with dynamic allocation prefer
+    # spark.sparkContext.setCheckpointDir + .checkpoint() (reliable) — the
+    # single-JVM sandbox cannot lose an executor, so the fast form is used
+    # here.  Every checkpoint this function creates is unpersisted before
+    # return except the final labels table (small, and the returned
+    # DataFrame's only storage — its lineage is truncated by design).
     edges = edges.select("clip_a", "clip_b").localCheckpoint(eager=True)
     n_pairs = edges.count()
     if 2 * n_pairs <= cfg.cc_driver_max_edges:
@@ -74,6 +82,7 @@ def connected_components(edges: DataFrame, cfg: Config) -> DataFrame:
             edges.select(F.col("clip_a").alias("src"), F.col("clip_b").alias("dst"))
             .toPandas()  # Arrow batches, not per-Row deserialization
         )
+        edges.unpersist()  # checkpoint blocks no longer needed once collected
         # factorize(sort=True): code order == value order, so min over codes
         # == min over ids (lexical for strings, numeric for ints) — the same
         # tie-break as the distributed F.least path.
@@ -102,6 +111,7 @@ def connected_components(edges: DataFrame, cfg: Config) -> DataFrame:
         F.col("clip_a").alias("src"), F.col("clip_b").alias("dst")
     ).union(edges.select(F.col("clip_b").alias("src"), F.col("clip_a").alias("dst")))
     sym = sym.distinct().localCheckpoint(eager=True)
+    edges.unpersist()  # sym's checkpoint now holds the data; drop the input blocks
 
     labels = (
         sym.groupBy("src")
@@ -112,6 +122,7 @@ def connected_components(edges: DataFrame, cfg: Config) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
+    prev_ckpt = labels  # the most recent materialized checkpoint
 
     for _ in range(cfg.cc_max_iters):
         # 1) propagate: candidate label for dst = min label among its neighbors
@@ -144,9 +155,12 @@ def connected_components(edges: DataFrame, cfg: Config) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         changed = checkpointed.filter(F.col("label") != F.col("old_label")).limit(1).count()
+        prev_ckpt.unpersist()  # previous round's checkpoint superseded (eager above)
+        prev_ckpt = checkpointed
         labels = checkpointed.drop("old_label")
         if changed == 0:
             break
+    sym.unpersist()
     return labels.withColumnsRenamed({"label": "cluster_id"})
 
 

@@ -190,6 +190,9 @@ def _png_unfilter(rows: np.ndarray, units: int, bpp: int) -> np.ndarray:
 # channels per PNG color type (8-bit depth): gray, RGB, palette, gray+alpha,
 # RGBA (palette rows are 1 byte/pixel of PLTE indices)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# dirty-corpus allocation ceiling: 2^26 pixels (~8K x 8K) bounds the decode
+# buffer at ~0.5 GB worst-case (16-bit RGBA) regardless of header claims
+_PNG_MAX_PIXELS = 1 << 26
 
 
 def _decode_png(data: bytes) -> np.ndarray:
@@ -270,10 +273,11 @@ def _decode_png(data: bytes) -> np.ndarray:
         raise ImageDecodeError("palette PNG missing PLTE")
     if w <= 0 or h <= 0:
         raise ImageDecodeError(f"unsupported PNG geometry {w}x{h}")
-    try:
-        raw = zlib.decompress(bytes(idat))
-    except zlib.error as e:
-        raise ImageDecodeError(f"PNG inflate failed: {e}") from e
+    if w * h > _PNG_MAX_PIXELS:
+        # dirty-corpus guard: a crafted IHDR can declare absurd dimensions;
+        # without this, np.zeros below would allocate from attacker-chosen
+        # numbers and OOM the executor instead of soft-failing the image
+        raise ImageDecodeError(f"PNG geometry {w}x{h} exceeds pixel cap")
     ch = _PNG_CHANNELS[color_type]
     if bit_depth == 8:
         stride = w * ch
@@ -286,6 +290,29 @@ def _decode_png(data: bytes) -> np.ndarray:
         # step (PNG spec: bpp rounds up to 1); pixels unpack afterwards
         stride = (w * bit_depth + 7) // 8
         units, bpp = stride, 1
+    # exact expected inflated size from the validated geometry — computed
+    # BEFORE inflating so a deflate bomb can never allocate past it
+    if interlace == 0:
+        expected = h * (1 + stride)
+    else:
+        expected = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw > 0 and ph > 0:
+                expected += ph * (1 + pw * bpp)
+    dec = zlib.decompressobj()
+    try:
+        # max_length bounds the OUTPUT allocation: a bomb stream yields at
+        # most expected+1 bytes (then fails the size check) instead of
+        # inflating 1000x into executor memory
+        raw = dec.decompress(bytes(idat), expected + 1)
+    except zlib.error as e:
+        raise ImageDecodeError(f"PNG inflate failed: {e}") from e
+    if len(raw) > expected or dec.unconsumed_tail:
+        raise ImageDecodeError(
+            f"PNG inflated stream exceeds declared raster size {expected}"
+        )
     if interlace == 0:
         if len(raw) != h * (1 + stride):
             raise ImageDecodeError(

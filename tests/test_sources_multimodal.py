@@ -613,3 +613,51 @@ def test_image_featurize_plumbing(spark, cfg):
     cands = P.candidate_pairs(B.salted_capped_buckets(B.explode_bands(feats), cfg), cfg)
     pairs = {(r["clip_a"], r["clip_b"]) for r in cands.collect()}
     assert ("img_a", "img_b") in pairs
+
+
+def test_png_rejects_bogus_huge_header():
+    """A crafted IHDR declaring absurd dimensions must soft-fail (pixel cap)
+    before any allocation — not OOM the executor (dirty-corpus guard)."""
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        (1 << 20).to_bytes(4, "big") + (1 << 20).to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])
+    )
+    data = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 16)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(MM.ImageDecodeError, match="pixel cap"):
+        MM.decode_image(data, "png")
+
+
+def test_png_rejects_deflate_bomb():
+    """An IDAT stream that inflates far past the declared raster size must
+    raise ImageDecodeError after at most expected+1 bytes of output — the
+    bounded decompressobj guard, not an unbounded zlib.decompress."""
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    # declares 4x4 RGB (expected raster 4*(1+12)=52) but carries 64 MB of
+    # zeros compressed to ~64 KB
+    ihdr = (4).to_bytes(4, "big") + (4).to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    bomb = zlib.compress(b"\x00" * (64 << 20), 9)
+    assert len(bomb) < (1 << 17)
+    data = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(MM.ImageDecodeError, match="exceeds declared raster"):
+        MM.decode_image(data, "png")
