@@ -66,7 +66,11 @@ class Config:
     # ---- bucket capacity / skew bound (analog of the 28-slot row cap,
     #      main_map.cpp:62, 592-623) ----
     bucket_cap: int = 64          # max members kept per (channel, band, hash) bucket
-    n_salts: int = 8              # explicit salt fan-out for hot buckets
+    n_salts: int = 8              # legacy (rounds 1-4): explicit salt fan-out
+                                  # for hot buckets; superseded by Spark's
+                                  # partial WindowGroupLimit map-side bound
+                                  # (bands.py) — kept so recorded configs /
+                                  # params hashes stay loadable
 
     # ---- verification + classification ----
     jaccard_threshold: float = 0.45   # exact-Jaccard confirm threshold (pcm channel);

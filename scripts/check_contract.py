@@ -2,7 +2,7 @@
 entry on Spark and its oracle_sql() twin on DuckDB, compare row count,
 column names, and order-insensitive values.
 
-Usage: python scripts/check_contract.py [sf_dir] [query ...]
+Usage: python scripts/check_contract.py [sf_dir] [--json-out=FILE] [query ...]
 """
 
 from __future__ import annotations
@@ -56,8 +56,13 @@ def main() -> int:
         )
         return 2
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--json-out=")]
+    json_out = next(
+        (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json-out=")),
+        None,
+    )
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
     from consult_spark.session import get_spark
 
@@ -76,39 +81,52 @@ def main() -> int:
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        rec = {"rows_match": False, "schema_match": False, "hash_match": False,
+               "spark_rows": None, "oracle_rows": None, "err": None}
+        report[name] = rec
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(srows)
         except Exception as ex:  # noqa: BLE001
             failures.append((name, f"spark error: {ex}"))
+            rec["err"] = f"spark error: {str(ex)[:300]}"
             print(f"[FAIL-SPARK] {name}: {str(ex)[:300]}")
             continue
         if name not in oracles:
+            rec["err"] = "rows-only (no oracle)"
+            rec["rows_match"] = rec["schema_match"] = rec["hash_match"] = None
             print(f"[ROWS-ONLY]  {name}: {len(srows)} rows in {time.time()-t0:.1f}s")
             continue
         try:
             res = con.sql(oracles[name])
             dcols = res.columns
             drows = res.fetchall()
+            rec["oracle_rows"] = len(drows)
         except Exception as ex:  # noqa: BLE001
             failures.append((name, f"duckdb error: {ex}"))
+            rec["err"] = f"duckdb error: {str(ex)[:300]}"
             print(f"[FAIL-DUCK]  {name}: {str(ex)[:300]}")
             continue
         sc, sn = normalize(srows, scols)
         dc, dn = normalize(drows, dcols)
+        rec["schema_match"] = sc == dc
         if sc != dc:
             failures.append((name, f"schema mismatch: spark={sc} duck={dc}"))
             print(f"[FAIL-SCHEMA] {name}: spark={sc} duck={dc}")
             continue
+        rec["rows_match"] = len(sn) == len(dn)
         if len(sn) != len(dn):
             failures.append((name, f"rowcount {len(sn)} vs {len(dn)}"))
             print(f"[FAIL-COUNT] {name}: spark={len(sn)} duck={len(dn)}")
             continue
+        rec["hash_match"] = sn == dn
         if sn != dn:
             bad = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
             failures.append((name, f"value mismatch, e.g. {bad}"))
@@ -116,6 +134,12 @@ def main() -> int:
             continue
         print(f"[OK]         {name}: {len(sn)} rows in {time.time()-t0:.1f}s")
 
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     print(f"\n{len(failures)} failures")
     spark.stop()
     return 1 if failures else 0

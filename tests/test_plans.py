@@ -50,8 +50,18 @@ def test_pair_generation_has_no_cartesian_or_python(spark, clips_parquet, cfg):
     import re
 
     assert len(re.findall(r"\(\d+\) MapInPandas", props["plan"])) == 1
-    # the two-phase cap must compile to WindowGroupLimit (rank pushdown)
+    # the cap must compile to WindowGroupLimit (rank pushdown) with a
+    # PARTIAL instance below the exchange — that map-side group limit is
+    # the hot-bucket skew bound (a hot bucket crosses the shuffle as
+    # <= map_partitions*cap rows, never M; bands.py module docstring)
     assert props["plan"].count("WindowGroupLimit") >= 2
+    assert "Partial" in props["plan"]
+    # ... and the cap chain pays ONE exchange before the pair-dedup
+    # repartition: band rows -> bucket window -> groupBy(members) reuse the
+    # same hash partitioning (rounds 1-4 paid a second full exchange+sort
+    # for a hand-rolled salt phase the engine's partial limit supersedes)
+    n_exchanges = props["plan"].count("(Exchange") + props["plan"].count(") Exchange")
+    assert n_exchanges <= 2, props["plan"]
 
 
 def test_textdedup_confirmed_no_cartesian(spark):
