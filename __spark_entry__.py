@@ -429,11 +429,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_media_confirmed_pairs(spark, sf):
-        # image dedup on REAL decoded PPM/BMP bytes over the deterministic
-        # 120-image fixture (generate_image_corpus_pandas(120, 42), frozen
-        # as parquet); golden-table oracle from the independent
+        # image dedup on REAL decoded PPM/BMP/PNG/JPEG bytes over the
+        # deterministic 120-image fixture (generate_image_corpus_pandas(120,
+        # 42), frozen as parquet); golden-table oracle from the independent
         # implementation in scripts/gen_media_oracle.py (pure-python
-        # decode + python big-int hashing)
+        # decode incl. stdlib-only JPEG + python big-int hashing)
         from consult_spark.config import Config
         from consult_spark.operators import bands as bands_op
         from consult_spark.operators import multimodal as mm

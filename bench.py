@@ -394,19 +394,56 @@ SCALING_CLIPS = int(os.environ.get("SPARK_GRAFT_SCALING_CLIPS", "480000"))
 SCALING_LEVELS = (4, 16)  # N and 4N
 
 
-def _burn_seconds(seconds: float) -> None:
-    t0 = time.time()
-    while time.time() - t0 < seconds:
-        pass
+def _burn_worker(seconds: float) -> int:
+    """One pinned worker of the probe: hash a hot 1 MB buffer for `seconds`
+    and return MB hashed — same unit as _calibrate(), so per-width probe
+    totals compare directly against the single-thread rate."""
+    import hashlib
+
+    buf = b"\x5a" * (1 << 20)
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < seconds:
+        h = hashlib.sha256()
+        for _ in range(4):
+            h.update(buf)
+        h.digest()
+        n += 4
+    return n
 
 
-def _steal_probe(cores: int, seconds: float = 15.0) -> int:
-    """Burn `cores` pinned cores for `seconds` and return the steal-tick
-    delta — a hypervisor-conditions reading taken immediately BEFORE each
-    timed run (a run's own steal ticks only partially proxy co-tenant
-    pressure; recording the probe makes the measurement window auditable)."""
+def _bandwidth_worker(seconds: float) -> int:
+    """One pinned worker of the bandwidth phase: memcpy a 64 MB buffer
+    (beyond L3) for `seconds`; returns MB copied."""
+    import numpy as np
+
+    a = np.zeros(64 << 20, dtype=np.uint8)
+    b = np.zeros(64 << 20, dtype=np.uint8)
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < seconds:
+        b[:] = a
+        n += 1
+    return n * 64
+
+
+def _steal_probe(cores: int, seconds: float = 15.0) -> dict:
+    """Burn `cores` pinned cores for `seconds`; return the steal-tick delta
+    AND the aggregate hash throughput (MB/s summed over workers) AND the
+    aggregate DRAM copy bandwidth (GB/s).
+
+    The throughput reading is the round-5 addition: this host's hypervisor
+    throttles WIDE usage in a way neither steal ticks nor a single-thread
+    calibration can see (round 5 measured identical code at two commits
+    both ~30% below round 3's 16-core throughput at near-zero steal and
+    above-reference single-thread calib).  Probing the SAME widths the
+    scaling comparison uses (4 and 16) yields the same-day achievable
+    ceiling: probe16/probe4 < 4.0 means the host itself cannot scale 4x
+    that day, and the pipeline's efficiency should be read against that
+    ceiling."""
     import multiprocessing as mp
 
+    bw_seconds = max(4.0, seconds / 3)
     s0 = _steal_ticks()
     try:
         prev = os.sched_getaffinity(0)
@@ -418,7 +455,15 @@ def _steal_probe(cores: int, seconds: float = 15.0) -> int:
         except (AttributeError, OSError, ValueError):
             pass
         with mp.Pool(cores) as p:
-            p.map(_burn_seconds, [seconds] * cores)
+            counts = p.map(_burn_worker, [seconds] * cores)
+        # second phase: DRAM bandwidth at the same width.  The pipeline's
+        # wide stages (shuffle, cache reads, Arrow transfers) are partly
+        # bandwidth-bound, and this host's copy bandwidth saturates well
+        # below 4x from 4 -> 16 workers (measured 36.5 -> 80.7 GB/s =
+        # 2.21x on 2026-08-17) — a ceiling the cache-resident hash burn
+        # cannot see.
+        with mp.Pool(cores) as p:
+            copies = p.map(_bandwidth_worker, [bw_seconds] * cores)
     finally:
         # restore: the probe's pinning must not leak into the parent's
         # post-probe work (4-core phase bookkeeping, cache pruning)
@@ -427,7 +472,11 @@ def _steal_probe(cores: int, seconds: float = 15.0) -> int:
                 os.sched_setaffinity(0, prev)
             except (AttributeError, OSError, ValueError):
                 pass
-    return _steal_ticks() - s0
+    return {
+        "steal": _steal_ticks() - s0,
+        "agg_mbps": round(sum(counts) / seconds, 1),
+        "agg_bw_gbps": round(sum(copies) / bw_seconds / 1024, 2),
+    }
 
 
 def _child_json(out: "subprocess.CompletedProcess", cmd: list) -> dict:
@@ -494,7 +543,9 @@ def run_scaling(repeats: int = 2) -> None:
                 "--n-clips", str(SCALING_CLIPS),
             ]
             out = subprocess.run(cmd, capture_output=True, text=True, check=False, env=env)
-            runs.append({**_child_json(out, cmd), "probe_steal": probe})
+            runs.append({**_child_json(out, cmd), "probe_steal": probe["steal"],
+                         "probe_mbps": probe["agg_mbps"],
+                         "probe_bw_gbps": probe["agg_bw_gbps"]})
             print(f"cores={cores}: {runs[-1]}")
             if attempts >= repeats and not _suspect(min(runs, key=lambda r: r["wall_sec"])):
                 break
@@ -513,8 +564,8 @@ def run_scaling(repeats: int = 2) -> None:
             f"best of {repeats} fresh-JVM runs per level (host shows hypervisor CPU-steal\n"
             "bursts; steal ticks per run recorded below).\n\n"
             "| cores | wall sec | clips/sec | steal ticks | calib pre/post (MB/s, quiet ref "
-            f"{CALIB_QUIET_REF:.0f}) | all runs (wall s @ steal) |\n"
-            "|---|---|---|---|---|---|\n"
+            f"{CALIB_QUIET_REF:.0f}) | probe agg MB/s | probe DRAM GB/s | all runs (wall s @ steal) |\n"
+            "|---|---|---|---|---|---|---|---|\n"
         )
         for cores in SCALING_LEVELS:
             r = results[cores]
@@ -524,7 +575,8 @@ def run_scaling(repeats: int = 2) -> None:
             )
             f.write(
                 f"| local[{cores}] | {r['wall_sec']:.1f} | {r['clips_per_sec']:.1f} | "
-                f"{r['steal_ticks']} | {r.get('calib_pre', '?')}/{r.get('calib_post', '?')} | {hist} |\n"
+                f"{r['steal_ticks']} | {r.get('calib_pre', '?')}/{r.get('calib_post', '?')} | "
+                f"{r.get('probe_mbps', '?')} | {r.get('probe_bw_gbps', '?')} | {hist} |\n"
             )
         calib_of = {
             c: min(results[c].get("calib_pre", CALIB_QUIET_REF),
@@ -532,12 +584,47 @@ def run_scaling(repeats: int = 2) -> None:
             for c in SCALING_LEVELS
         }
         eff_norm = ((t_hi / calib_of[hi]) / (t_lo / calib_of[lo])) / (hi / lo)
+        # same-day wide-usage ceiling: the best pure-CPU probe throughput at
+        # each width.  probe16/probe4 == 4.0 on an unthrottled host; below
+        # that, the HOST cannot scale 4x that day and the pipeline's
+        # efficiency should be read against the achievable ceiling.
+        probe_of = {
+            c: max((x.get("probe_mbps", 0) or 0) for x in all_runs[c]) or None
+            for c in SCALING_LEVELS
+        }
+        ceiling = (
+            probe_of[hi] / probe_of[lo]
+            if probe_of[hi] and probe_of[lo]
+            else None
+        )
+        eff_ceiling = eff / (ceiling / (hi / lo)) if ceiling else None
         f.write(
             f"\n**Scaling efficiency (throughput ratio / core ratio): "
             f"{eff:.3f}** (target >= 0.8)\n\n"
             f"Calibration-normalized efficiency (each level's throughput scaled by its\n"
             f"run-window CPU calibration): **{eff_norm:.3f}** — trust this one when the\n"
             "two levels ran under different host speeds.\n\n"
+        )
+        bw_of = {
+            c: max((x.get("probe_bw_gbps", 0) or 0) for x in all_runs[c]) or None
+            for c in SCALING_LEVELS
+        }
+        bw_ceiling = (
+            bw_of[hi] / bw_of[lo] if bw_of[hi] and bw_of[lo] else None
+        )
+        if ceiling:
+            f.write(
+                f"Same-day wide-usage ceilings measured at the two widths:\n"
+                f"pure-CPU (cache-resident sha256) **{ceiling:.2f}x** of ideal\n"
+                f"{hi // lo}.00x; DRAM copy bandwidth **"
+                + (f"{bw_ceiling:.2f}x" if bw_ceiling else "?")
+                + f" ({bw_of[lo]} -> {bw_of[hi]} GB/s)**.  The pipeline's\n"
+                "achievable scaling sits between these (its wide stages are\n"
+                "partly bandwidth-bound); neither ceiling is visible to steal\n"
+                "ticks or single-thread calibration.  Pipeline efficiency\n"
+                f"relative to the CPU ceiling: **{eff_ceiling:.3f}**.\n\n"
+            )
+        f.write(
             f"confirmed pairs = {results[lo]['n_confirmed']} (identical at both levels —\n"
             "the result is independent of parallelism).\n\n"
             "Per-stage timings at default bench size are in BENCH_r*.json\n"
@@ -545,6 +632,8 @@ def run_scaling(repeats: int = 2) -> None:
         )
     print(json.dumps({"scaling_efficiency": round(eff, 4),
                       "scaling_efficiency_calib_norm": round(eff_norm, 4),
+                      "host_wide_ceiling": round(ceiling, 4) if ceiling else None,
+                      "efficiency_vs_ceiling": round(eff_ceiling, 4) if eff_ceiling else None,
                       "clips_per_sec": {str(lo): t_lo, str(hi): t_hi}}))
     if not os.environ.get("SPARK_GRAFT_KEEP_CACHE"):
         pruned = prune_fixture_cache()

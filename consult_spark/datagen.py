@@ -311,14 +311,169 @@ def _png_bytes(img: np.ndarray) -> bytes:
     )
 
 
+# Annex K (ITU-T T.81) quantization tables, raster order — the standard
+# baseline tables every JPEG tool ships
+_JPEG_QT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int32)
+_JPEG_QT_CHROM = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99]
+    + [99] * 32, dtype=np.int32)
+_JPEG_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+_JPEG_DCT_M = np.array([
+    [(np.sqrt(0.5) if u == 0 else 1.0) / 2.0 * np.cos((2 * x + 1) * u * np.pi / 16.0)
+     for x in range(8)]
+    for u in range(8)
+])
+
+
+def _jpeg_bytes(img: np.ndarray) -> bytes:
+    """Baseline 4:2:0 JPEG writer (numpy DCT + quant, fixed-length huffman
+    tables: DC symbols 0-11 at 4 bits, AC symbols 0-255 at 9 bits — legal
+    canonical codes, chosen for writer simplicity; the engine decoder reads
+    whatever tables the file declares, and the Annex-K variable-length
+    tables are exercised by tests/test_jpeg.py's independent encoder)."""
+    import struct
+
+    h, w, _ = img.shape
+    f = img.astype(np.float64)
+    y = 0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+    cb = -0.168736 * f[..., 0] - 0.331264 * f[..., 1] + 0.5 * f[..., 2] + 128
+    cr = 0.5 * f[..., 0] - 0.418688 * f[..., 1] - 0.081312 * f[..., 2] + 128
+    ph, pw = -(-h // 16) * 16, -(-w // 16) * 16
+    y = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
+    cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+    cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+    cb = cb.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    cr = cr.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+
+    def quantized_blocks(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+        hh, ww = plane.shape
+        blocks = (
+            plane.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8) - 128.0
+        )
+        coef = np.einsum("ux,nxy,vy->nuv", _JPEG_DCT_M, blocks, _JPEG_DCT_M)
+        q = np.round(coef.reshape(-1, 64) / qt[np.newaxis, :]).astype(np.int64)
+        return q[:, _JPEG_ZZ]  # zigzag stream order
+
+    # quality ~90: halved Annex K tables — keeps the planted brightness-
+    # shift variants inside the block-feature quantization margin, so the
+    # LOSSY format still exercises the full dedup chain without eroding
+    # the planted ground truth
+    qt_lum = np.maximum(1, _JPEG_QT_LUM // 2)
+    qt_chrom = np.maximum(1, _JPEG_QT_CHROM // 2)
+    yq = quantized_blocks(y, qt_lum)
+    cbq = quantized_blocks(cb, qt_chrom)
+    crq = quantized_blocks(cr, qt_chrom)
+
+    bits: list[tuple[int, int]] = []
+
+    def put(v: int, k: int) -> None:
+        bits.append((v, k))
+
+    def put_block(zz: np.ndarray, pred: int) -> int:
+        diff = int(zz[0]) - pred
+        s = int(abs(diff)).bit_length()
+        put(s, 4)  # DC code: symbol s at 4 bits (code == symbol)
+        if s:
+            put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        nz = np.flatnonzero(zz[1:])
+        k = 1
+        for idx in nz:
+            pos = int(idx) + 1
+            run = pos - k
+            while run > 15:
+                put(0xF0, 9)  # ZRL
+                run -= 16
+            v = int(zz[pos])
+            s = int(abs(v)).bit_length()
+            put((run << 4) | s, 9)
+            put(v if v >= 0 else v + (1 << s) - 1, s)
+            k = pos + 1
+        if k < 64:
+            put(0x00, 9)  # EOB
+        return int(zz[0])
+
+    mcus_x, mcus_y = pw // 16, ph // 16
+    preds = [0, 0, 0]
+    for mcu in range(mcus_x * mcus_y):
+        my, mx = divmod(mcu, mcus_x)
+        for v in range(2):
+            for u in range(2):
+                bi = (my * 2 + v) * (mcus_x * 2) + (mx * 2 + u)
+                preds[0] = put_block(yq[bi], preds[0])
+        ci = my * mcus_x + mx
+        preds[1] = put_block(cbq[ci], preds[1])
+        preds[2] = put_block(crq[ci], preds[2])
+
+    # pack bits, FF-stuffing
+    payload = bytearray()
+    acc = nb = 0
+    for v, k in bits:
+        acc = (acc << k) | (v & ((1 << k) - 1))
+        nb += k
+        while nb >= 8:
+            nb -= 8
+            b = (acc >> nb) & 0xFF
+            payload.append(b)
+            if b == 0xFF:
+                payload.append(0x00)
+            acc &= (1 << nb) - 1
+    if nb:
+        pad = 8 - nb
+        b = ((acc << pad) | ((1 << pad) - 1)) & 0xFF
+        payload.append(b)
+        if b == 0xFF:
+            payload.append(0x00)
+
+    out = bytearray(b"\xff\xd8")
+    for tq, qt in ((0, qt_lum), (1, qt_chrom)):
+        body = bytes([tq]) + bytes(int(qt[z]) for z in _JPEG_ZZ)
+        out += b"\xff\xdb" + struct.pack(">H", 2 + len(body)) + body
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    sof += bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    # DC: symbols 0-11, all 4-bit -> canonical code == symbol.
+    # AC: symbols 0-254 at 9 bits (code == symbol) + symbol 255 at 10 bits
+    # (a DHT count byte maxes at 255); the encoder never emits 0xFF (run 15 /
+    # size 15 cannot occur at 8-bit precision), so every emitted AC code is
+    # the 9-bit symbol value itself.
+    dc_counts = [0] * 16
+    dc_counts[3] = 12
+    dc_body = bytes([0x00]) + bytes(dc_counts) + bytes(range(12))
+    ac_counts = [0] * 16
+    ac_counts[8] = 255
+    ac_counts[9] = 1
+    ac_body = bytes([0x10]) + bytes(ac_counts) + bytes(range(255)) + bytes([255])
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dc_body)) + dc_body
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(ac_body)) + ac_body
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += payload
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def generate_image_corpus_pandas(n_rows: int, seed: int = 42) -> pd.DataFrame:
     """Deterministic images with planted near-duplicate structure, mirroring
     the clip corpus: ~30% of bases get a variant (uniform brightness shift
     that the median-centered block features must absorb), rotating
-    PPM/BMP/PNG containers so dups cross formats — including the compressed
-    PNG path (stdlib-zlib decode).  Pixels are smooth gradients + seeded
-    low-frequency blobs (structured, like photographs) rather than white
-    noise, so block features carry signal."""
+    PPM/BMP/PNG/JPEG containers so dups cross formats — including the
+    compressed PNG path (stdlib-zlib decode) and the LOSSY baseline-JPEG
+    path (the brightness-shifted variant of a jpeg base must survive both
+    quantization noise and the shift).  Pixels are smooth gradients +
+    seeded low-frequency blobs (structured, like photographs) rather than
+    white noise, so block features carry signal."""
     rows = []
     i = 0
     base_idx = 0
@@ -338,8 +493,9 @@ def generate_image_corpus_pandas(n_rows: int, seed: int = 42) -> pd.DataFrame:
         for v_idx, img_v in enumerate(variants):
             if len(rows) >= n_rows:
                 break
-            fmt = ("ppm", "bmp", "png")[(base_idx + v_idx) % 3]
-            enc = {"ppm": _ppm_bytes, "bmp": _bmp_bytes, "png": _png_bytes}[fmt]
+            fmt = ("ppm", "bmp", "png", "jpeg")[(base_idx + v_idx) % 4]
+            enc = {"ppm": _ppm_bytes, "bmp": _bmp_bytes,
+                   "png": _png_bytes, "jpeg": _jpeg_bytes}[fmt]
             rows.append((f"img_{base_idx:06d}_{v_idx}", enc(img_v), 32, 32, fmt))
             i += 1
         base_idx += 1

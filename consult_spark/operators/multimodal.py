@@ -150,46 +150,66 @@ _ADAM7_PASSES = (
 
 def _png_unfilter(rows: np.ndarray, units: int, bpp: int) -> np.ndarray:
     """(n_rows, 1 + units*bpp) filtered scanlines -> (n_rows, units, bpp)
-    reconstructed bytes.  Filters none/up vectorize over the row; sub is a
-    per-channel cumulative sum; average/paeth run a width loop vectorized
-    across the bpp filter step."""
+    reconstructed bytes.
+
+    Consecutive rows with the same filter type decode as one vectorized
+    RUN: none is a block copy, sub a per-row width cumsum (batched across
+    the run), up a run-axis cumsum seeded with the previous reconstructed
+    row (mod-256 arithmetic rides the uint64 accumulate).  Only
+    average/paeth — a genuine left+up per-row recurrence — keep a width
+    loop, vectorized across the bpp filter step."""
     n_rows = rows.shape[0]
+    filters = rows[:, 0].astype(np.int64)
+    bad = np.flatnonzero(filters > 4)
+    if bad.size:
+        raise ImageDecodeError(
+            f"bad PNG filter type {int(filters[bad[0]])} on row {int(bad[0])}"
+        )
+    data = rows[:, 1:].reshape(n_rows, units, bpp)
     out = np.zeros((n_rows, units, bpp), dtype=np.uint8)
     prev = np.zeros((units, bpp), dtype=np.uint8)
-    for r in range(n_rows):
-        f = int(rows[r, 0])
-        cur = rows[r, 1:].reshape(units, bpp)
-        if f == 0:  # None
-            rec = cur.copy()
-        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-1]  (per channel)
-            rec = np.cumsum(cur.astype(np.uint64), axis=0).astype(np.uint8)
-        elif f == 2:  # Up
-            rec = cur + prev
-        elif f == 3:  # Average: left+up recurrence -> width loop
-            rec = np.zeros_like(cur)
-            left = np.zeros(bpp, dtype=np.int32)
-            up = prev.astype(np.int32)
-            for x in range(units):
-                left = (cur[x].astype(np.int32) + ((left + up[x]) >> 1)) & 0xFF
-                rec[x] = left.astype(np.uint8)
-        elif f == 4:  # Paeth
-            rec = np.zeros_like(cur)
-            left = np.zeros(bpp, dtype=np.int32)
-            ul = np.zeros(bpp, dtype=np.int32)
-            up = prev.astype(np.int32)
-            for x in range(units):
-                p = left + up[x] - ul
-                pa, pb, pc = np.abs(p - left), np.abs(p - up[x]), np.abs(p - ul)
-                pred = np.where(
-                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up[x], ul)
-                )
-                left = (cur[x].astype(np.int32) + pred) & 0xFF
-                rec[x] = left.astype(np.uint8)
-                ul = up[x]
-        else:
-            raise ImageDecodeError(f"bad PNG filter type {f} on row {r}")
-        out[r] = rec
-        prev = rec
+    bounds = np.flatnonzero(np.diff(filters)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [n_rows]))
+    for s, e in zip(starts, ends):
+        f = int(filters[s])
+        blk = data[s:e]
+        if f == 0:  # None: straight copy for the whole run
+            out[s:e] = blk
+        elif f == 1:  # Sub: per-row width cumsum, batched across the run
+            out[s:e] = np.cumsum(blk.astype(np.uint64), axis=1).astype(np.uint8)
+        elif f == 2:  # Up: run-axis cumsum + the row above the run
+            out[s:e] = (
+                np.cumsum(blk.astype(np.uint64), axis=0) + prev.astype(np.uint64)
+            ).astype(np.uint8)
+        elif f == 3:  # Average: left+up recurrence -> per-row width loop
+            for r in range(s, e):
+                cur = data[r]
+                rec = out[r]
+                left = np.zeros(bpp, dtype=np.int32)
+                up = prev.astype(np.int32)
+                for x in range(units):
+                    left = (cur[x].astype(np.int32) + ((left + up[x]) >> 1)) & 0xFF
+                    rec[x] = left.astype(np.uint8)
+                prev = rec
+        else:  # Paeth
+            for r in range(s, e):
+                cur = data[r]
+                rec = out[r]
+                left = np.zeros(bpp, dtype=np.int32)
+                ul = np.zeros(bpp, dtype=np.int32)
+                up = prev.astype(np.int32)
+                for x in range(units):
+                    p = left + up[x] - ul
+                    pa, pb, pc = np.abs(p - left), np.abs(p - up[x]), np.abs(p - ul)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up[x], ul)
+                    )
+                    left = (cur[x].astype(np.int32) + pred) & 0xFF
+                    rec[x] = left.astype(np.uint8)
+                    ul = up[x]
+                prev = rec
+        prev = out[e - 1]
     return out
 # channels per PNG color type (8-bit depth): gray, RGB, palette, gray+alpha,
 # RGBA (palette rows are 1 byte/pixel of PLTE indices)

@@ -97,15 +97,15 @@ def probe_candidates(query_bands: DataFrame, lib_buckets: DataFrame, cfg: Config
 
 
 def candidate_pairs(buckets: DataFrame, cfg: Config) -> DataFrame:
-    """-> (clip_a, clip_b, n_bands_pcm, n_bands_txt,
-    sim_{pcm,txt}_{a,b}, n_{pcm,txt}_{a,b}), clip_a < clip_b,
+    """-> (clip_a, clip_b, n_bands_pcm, n_bands_txt, sim_<prim>_{a,b},
+    n_<prim>_{a,b}) where <prim> = cfg.channels[0], clip_a < clip_b,
     deduplicated across bands and channels, c-threshold applied per channel
     (a pair qualifies if SOME SINGLE channel reaches cfg.min_common_bands —
     the L-table OR of the reference, main_search.cpp:810-880; collisions are
     never summed across channels, so two extra channels at c-1 hits each do
     not fake a qualifying pair).
 
-    The sim_*/n_* columns are the denormalized per-channel SimHash
+    The sim_*/n_* columns are the denormalized primary-channel SimHash
     fingerprints and shingle-set sizes of both members, pivoted out of the
     band hits (null when the pair never co-occurred in that channel's
     buckets) — verify's prefilter reads them directly instead of joining
@@ -129,17 +129,21 @@ def candidate_pairs(buckets: DataFrame, cfg: Config) -> DataFrame:
         # at most one row per kind in the group -> max over (value, nulls)
         return F.max(F.when(F.col("kind") == kind, F.col(col)))
 
+    # pivot the fingerprints of the PRIMARY channel only: that is the
+    # channel whose buckets generate the candidates, so its sims are
+    # non-null on ~every pair and verify's prefilter runs join-free; a
+    # secondary channel would be mostly null (verify.channel_scores uses
+    # its feature-table join there anyway), so carrying its columns
+    # through the pair shuffle + cache would be dead weight (~340 MB at
+    # 480k clips)
+    prim = cfg.channels[0] if cfg.channels else "pcm"
     agg = per_kind.groupBy("clip_a", "clip_b").agg(
         F.sum(F.when(F.col("kind") == "pcm", F.col("nk")).otherwise(0)).alias("n_bands_pcm"),
         F.sum(F.when(F.col("kind") == "txt", F.col("nk")).otherwise(0)).alias("n_bands_txt"),
-        _pick("pcm", "sim_a").alias("sim_pcm_a"),
-        _pick("pcm", "sim_b").alias("sim_pcm_b"),
-        _pick("pcm", "n_a").alias("n_pcm_a"),
-        _pick("pcm", "n_b").alias("n_pcm_b"),
-        _pick("txt", "sim_a").alias("sim_txt_a"),
-        _pick("txt", "sim_b").alias("sim_txt_b"),
-        _pick("txt", "n_a").alias("n_txt_a"),
-        _pick("txt", "n_b").alias("n_txt_b"),
+        _pick(prim, "sim_a").alias(f"sim_{prim}_a"),
+        _pick(prim, "sim_b").alias(f"sim_{prim}_b"),
+        _pick(prim, "n_a").alias(f"n_{prim}_a"),
+        _pick(prim, "n_b").alias(f"n_{prim}_b"),
         F.max("nk").alias("max_kind_bands"),
     )
     return agg.filter(F.col("max_kind_bands") >= cfg.min_common_bands).drop("max_kind_bands")

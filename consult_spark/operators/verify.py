@@ -83,14 +83,21 @@ def channel_scores(pairs: DataFrame, features: DataFrame, kind: str, cfg: Config
         )
 
     carried = {f"sim_{kind}_a", f"sim_{kind}_b", f"n_{kind}_a", f"n_{kind}_b"}
-    if carried <= set(pairs.columns):
+    primary = bool(cfg.channels) and cfg.channels[0] == kind
+    if primary and carried <= set(pairs.columns):
         # fast path: the candidate rows already carry both members'
         # fingerprints for this channel (denormalized through banding —
         # bands.py module docstring), so the prefilter needs NO join.  Only
         # pairs that never co-occurred in this channel's buckets (sims null
         # — e.g. a txt-qualified pair being scored on pcm) fall back to the
-        # feature-table join; that remainder is a small fraction of the
-        # candidate set.
+        # feature-table join.  Gated to the PRIMARY channel (cfg.channels
+        # [0]) because coverage follows candidate generation: the channel
+        # that produced the band hits carries sims on ~every pair, while a
+        # secondary channel is mostly null (measured at 480k: the txt
+        # channel of the audio pipeline is ~90% null because pcm collisions
+        # dominate candidates) — there the "fallback" IS the full join and
+        # the have/miss split + union just adds two extra passes over the
+        # candidate cache (+22s at 480k/16c, A/B-measured).
         base = pairs.select(
             "clip_a", "clip_b",
             F.col(f"sim_{kind}_a").alias("simhash_a"),

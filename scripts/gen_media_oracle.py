@@ -144,7 +144,21 @@ def decode_png_py(data: bytes) -> np.ndarray:
     return np.array(px, dtype=np.uint8)
 
 
-_DECODERS_PY = {"ppm": decode_ppm_py, "bmp": decode_bmp_py, "png": decode_png_py}
+def decode_jpeg_py(data: bytes) -> np.ndarray:
+    """Baseline JPEG via the stdlib-only oracle decoder in tests/test_jpeg
+    (pure python huffman + per-pixel IDCT — independent of the engine's
+    numpy decoder).  JPEG is the one LOSSY format in the rotation, so the
+    golden truth is defined over the decoded (quantized) pixels; main()
+    additionally asserts the engine decode is byte-identical to this oracle
+    for every corpus image, which freezes the golden against float-rounding
+    skew between the two IDCT implementations."""
+    from tests.test_jpeg import oracle_decode_jpeg
+
+    return np.array(oracle_decode_jpeg(data), dtype=np.uint8)
+
+
+_DECODERS_PY = {"ppm": decode_ppm_py, "bmp": decode_bmp_py,
+                "png": decode_png_py, "jpeg": decode_jpeg_py}
 
 
 def image_shingles_oracle(img: np.ndarray) -> set[int]:
@@ -169,6 +183,18 @@ def main() -> None:
     mins: dict[str, list[int]] = {}
     for t in images.itertuples(index=False):
         img = _DECODERS_PY[t.format](bytes(t.bytes))
+        if t.format == "jpeg":
+            # lossy format: freeze the golden only if engine == oracle decode
+            # EXACTLY (see decode_jpeg_py docstring)
+            from consult_spark.operators import multimodal as MM
+
+            eng = MM.decode_image(bytes(t.bytes), "jpeg")
+            if not np.array_equal(eng, img):
+                raise AssertionError(
+                    f"{t.img_id}: engine/oracle JPEG decode mismatch "
+                    f"(max diff {np.abs(eng.astype(int) - img.astype(int)).max()}) "
+                    "— golden would be unstable; adjust the corpus seed"
+                )
         s = image_shingles_oracle(img)
         sets[t.img_id] = s
         mins[t.img_id] = minhash_set(s, cfg.n_hashes, cfg.minhash_seed)
