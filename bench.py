@@ -732,16 +732,26 @@ def run_skew(repeats: int = 2, cores: int = 16) -> None:
                 f"{r['max_bucket_size']} | {r['n_dropped']} | {r['steal_ticks']} | "
                 f"{r.get('calib_pre', '?')}/{r.get('calib_post', '?')} | {hist} |\n"
             )
+        out_growth = (
+            results["hot1pct"]["n_confirmed"] / results["uniform"]["n_confirmed"]
+        )
         f.write(
-            f"\n**hot/uniform wall-time ratio: {ratio:.3f}** (acceptance <= ~1.2).\n\n"
+            f"\n**hot/uniform wall-time ratio: {ratio:.3f}** (acceptance <= ~1.2,\n"
+            "on the RAW ratio under matched page-cache state).\n\n"
             "Confirmed-pair counts: uniform="
             f"{results['uniform']['n_confirmed']}, hot={results['hot1pct']['n_confirmed']}\n"
             "(the hot clique's members still confirm against each other through\n"
             "the capped buckets — the cap bounds candidate generation, not recall\n"
             "inside the clique, because every member shares EVERY band with the\n"
-            "clique representatives that survive the cap).\n"
+            "clique representatives that survive the cap).\n\n"
+            f"Secondary view: the hot corpus legitimately confirms {out_growth:.2f}x\n"
+            "as many pairs (the clique IS duplicate-dense), so some wall growth is\n"
+            "real extra output, not cap failure; output-normalized wall ratio =\n"
+            f"{ratio / out_growth:.3f}.  The acceptance above is still judged on the\n"
+            "raw ratio — the normalized figure is context, not the criterion.\n"
         )
-    print(json.dumps({"skew_ratio": round(ratio, 4)}))
+    print(json.dumps({"skew_ratio": round(ratio, 4),
+                      "skew_ratio_output_norm": round(ratio / out_growth, 4)}))
     if not os.environ.get("SPARK_GRAFT_KEEP_CACHE"):
         pruned = prune_fixture_cache()
         print(json.dumps({"cache_pruned": pruned}))

@@ -31,13 +31,15 @@ def test_wav_directory_ingest(spark, corpus_xs, cfg, tmp_path):
 
 def test_image_decode_stub_raises():
     with pytest.raises(NotImplementedError):
-        MM.decode_image(b"\xff\xd8\xff\xe0....", "jpeg")
+        MM.decode_image(b"RIFF....WEBP", "webp")
     with pytest.raises(NotImplementedError):
         MM.sample_video_frames(b"\x00" * 32, "h264")
-    # png is REAL now — malformed png bytes are a soft per-image error,
-    # not a stub
+    # png and baseline jpeg are REAL now — malformed bytes are a soft
+    # per-image error, not a stub
     with pytest.raises(MM.ImageDecodeError):
         MM.decode_image(b"\x89PNG\r\n\x1a\nxxxx", "png")
+    with pytest.raises(MM.ImageDecodeError):
+        MM.decode_image(b"\xff\xd8\xff\xe0....", "jpeg")
 
 
 # --- independent encoders (test-side construction, never engine code) ------
