@@ -6,8 +6,9 @@ processed by Arrow-batched UDFs.  The audio path (functions/audio.py) is
 fully real.  Image decode is REAL for every format that needs no external
 codec library — binary PPM (P6) and 24-bit BMP parsed in pure numpy like
 the WAV container, PNG (all color types, 1-16 bit, Adam7) via stdlib zlib
-inflate + a numpy per-row unfilter, and baseline JPEG (JFIF/SOF0: huffman
-entropy decode, dequant, vectorized IDCT, chroma upsample) — so a
+inflate + a numpy per-row unfilter, baseline JPEG (JFIF/SOF0: huffman
+entropy decode, dequant, vectorized IDCT, chroma upsample), and GIF87a/89a
+(variable-width LZW, interlace, local/global palettes, transparency) — so a
 planted-dup image pair flows decode -> shingle -> bands -> pairs -> verify
 end-to-end on real bytes, including cross-format pairs
 (test_sources_multimodal, test_jpeg).  Formats whose codecs genuinely
@@ -69,6 +70,8 @@ def decode_image(data: bytes, fmt: str, deterministic_fake: bool = False) -> np.
         return _decode_png(data)
     if f in ("jpg", "jpeg") or data[:2] == b"\xff\xd8":
         return _decode_jpeg(data)
+    if f == "gif" or data[:4] == b"GIF8":
+        return _decode_gif(data)
     raise NotImplementedError(
         f"image decode ({fmt!r}) requires PIL/opencv, absent from this "
         "environment; plug a decoder in here — the rest of the pipeline is real"
@@ -713,6 +716,173 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         axis=2,
     )
     return np.floor(rgb + 0.5).clip(0, 255).astype(np.uint8)
+
+
+def _gif_lzw(data: bytes, min_code_size: int, expected: int) -> bytearray:
+    """GIF variable-width LZW decode (LSB-first bit order) of an already
+    de-sub-blocked code stream; returns exactly `expected` palette indices
+    (extra trailing codes are ignored, shortfall is an error).
+
+    The per-code python loop is the sequential-bitstream boundary, same
+    stance as JPEG huffman (multimodal.py) and FLAC rice (audio.py):
+    images still decode executor-parallel across the corpus.  Width bumps
+    when the table reaches 1<<width; the table caps at 4096 per the spec
+    (a clear code resets it).
+    """
+    if not 2 <= min_code_size <= 11:
+        raise ImageDecodeError(f"GIF LZW min code size {min_code_size}")
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev = None
+    bitpos, nbits = 0, len(data) * 8
+    while bitpos + code_size <= nbits and len(out) < expected:
+        byte_i = bitpos >> 3
+        chunk = int.from_bytes(data[byte_i:byte_i + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:  # first code after start/clear must be a literal
+            if code >= clear:
+                raise ImageDecodeError("GIF LZW: non-literal after clear")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+        else:
+            raise ImageDecodeError("GIF LZW: code beyond table")
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        prev = entry
+    if len(out) < expected:
+        raise ImageDecodeError(
+            f"GIF LZW: stream ended at {len(out)}/{expected} pixels"
+        )
+    del out[expected:]
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _decode_gif(data: bytes) -> np.ndarray:
+    """GIF87a/89a -> HxWx3 uint8 RGB, pure stdlib+numpy like the other
+    codecs here (CONSULT precedent: read the container formats users
+    actually have, main_search.cpp:755-766 — for web image corpora that
+    is JPEG/PNG/GIF).
+
+    Covered: global + local color tables, interlace (4-pass reorder),
+    graphic-control transparency, multi-segment LZW sub-blocks, clear-code
+    table resets.  Animated GIFs decode the FIRST frame composited onto
+    the logical screen at its (left, top) offset — dedup features need one
+    representative raster.  Declared geometry is capped before any
+    allocation (same dirty-corpus guard as PNG/JPEG)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ImageDecodeError("not a GIF (bad signature)")
+    if len(data) < 13:
+        raise ImageDecodeError("GIF truncated before screen descriptor")
+    w = int.from_bytes(data[6:8], "little")
+    h = int.from_bytes(data[8:10], "little")
+    flags, bg_index = data[10], data[11]
+    if w <= 0 or h <= 0 or w * h > _PNG_MAX_PIXELS:
+        raise ImageDecodeError(f"GIF geometry {w}x{h} out of bounds")
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        size = 3 * (2 << (flags & 7))
+        gct = np.frombuffer(data[pos:pos + size], dtype=np.uint8)
+        if gct.size < size:
+            raise ImageDecodeError("GIF truncated in global color table")
+        gct = gct.reshape(-1, 3)
+        pos += size
+    transparent = None
+    n = len(data)
+    while pos < n:
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            raise ImageDecodeError("GIF has no image descriptor")
+        if block == 0x21:  # extension: skip, remembering transparency
+            if pos >= n:
+                raise ImageDecodeError("GIF truncated in extension")
+            label = data[pos]
+            pos += 1
+            while pos < n and data[pos]:
+                sz = data[pos]
+                if label == 0xF9 and sz == 4 and data[pos + 1] & 1:
+                    transparent = data[pos + 4]
+                pos += 1 + sz
+            pos += 1  # sub-block terminator
+            continue
+        if block != 0x2C:
+            raise ImageDecodeError(f"GIF unknown block 0x{block:02x}")
+        if pos + 9 > n:
+            raise ImageDecodeError("GIF truncated in image descriptor")
+        left = int.from_bytes(data[pos:pos + 2], "little")
+        top = int.from_bytes(data[pos + 2:pos + 4], "little")
+        iw = int.from_bytes(data[pos + 4:pos + 6], "little")
+        ih = int.from_bytes(data[pos + 6:pos + 8], "little")
+        iflags = data[pos + 8]
+        pos += 9
+        if iw <= 0 or ih <= 0 or iw * ih > _PNG_MAX_PIXELS:
+            raise ImageDecodeError(f"GIF frame geometry {iw}x{ih}")
+        palette = gct
+        if iflags & 0x80:
+            size = 3 * (2 << (iflags & 7))
+            palette = np.frombuffer(data[pos:pos + size], dtype=np.uint8)
+            if palette.size < size:
+                raise ImageDecodeError("GIF truncated in local color table")
+            palette = palette.reshape(-1, 3)
+            pos += size
+        if palette is None:
+            raise ImageDecodeError("GIF frame has no color table")
+        if pos >= n:
+            raise ImageDecodeError("GIF truncated before LZW data")
+        min_code_size = data[pos]
+        pos += 1
+        chunks = []
+        while pos < n and data[pos]:
+            sz = data[pos]
+            chunks.append(data[pos + 1:pos + 1 + sz])
+            pos += 1 + sz
+        idx = np.frombuffer(
+            _gif_lzw(b"".join(chunks), min_code_size, iw * ih), dtype=np.uint8
+        ).reshape(ih, iw)
+        if idx.max(initial=0) >= len(palette):
+            raise ImageDecodeError("GIF index beyond color table")
+        if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+            rows = np.empty(ih, dtype=np.int64)
+            srcs = [np.arange(start, ih, step)
+                    for start, step in _GIF_INTERLACE_PASSES]
+            rows[np.concatenate(srcs)] = np.arange(ih)
+            idx = idx[rows]
+        # composite frame 1 onto the logical screen
+        bg_rgb = (gct[bg_index] if gct is not None and bg_index < len(gct)
+                  else np.zeros(3, dtype=np.uint8))
+        canvas = np.broadcast_to(bg_rgb, (h, w, 3)).copy()
+        y0, x0 = min(top, h), min(left, w)
+        y1, x1 = min(top + ih, h), min(left + iw, w)
+        region = idx[: y1 - y0, : x1 - x0]
+        rgb = palette[region]
+        if transparent is not None:
+            keep = region != transparent
+            canvas[y0:y1, x0:x1][keep] = rgb[keep]
+        else:
+            canvas[y0:y1, x0:x1] = rgb
+        return canvas
+    raise ImageDecodeError("GIF truncated before any image")
 
 
 def _payload_seed(data: bytes) -> int:
