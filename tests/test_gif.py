@@ -221,3 +221,39 @@ def test_gif_decode_image_dispatch():
     np.testing.assert_array_equal(MM.decode_image(data, "gif"), pal[idx])
     # sniffed from magic with no format hint
     np.testing.assert_array_equal(MM.decode_image(data, ""), pal[idx])
+
+
+def test_gif_cross_format_near_dup_confirms_e2e(spark, cfg):
+    """A GIF and a PNG of the SAME raster must confirm as a near-dup pair
+    through the shared bands -> pairs -> verify chain on real bytes (the
+    same contract as the PNG<->BMP and JPEG<->PNG planted pairs)."""
+    from tests.test_sources_multimodal import encode_png
+
+    def mosaic(seed):
+        r = np.random.default_rng(seed)
+        idx = np.repeat(
+            np.repeat(r.integers(0, 16, size=(8, 8), dtype=np.uint8),
+                      4, axis=0), 4, axis=1)
+        pal = r.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        return idx, pal
+
+    idx, pal = mosaic(31)
+    oidx, opal = mosaic(99)
+    rows = [
+        ("img_gif", encode_gif(idx, pal), 32, 32, "gif"),
+        ("img_png", encode_png(pal[idx], 1), 32, 32, "png"),
+        ("img_other", encode_png(opal[oidx], 1), 32, 32, "png"),
+    ]
+    images = spark.createDataFrame(rows, MM.IMAGES_SCHEMA)
+    feats = MM.featurize_images(images, cfg)
+    from consult_spark.operators import bands as B
+    from consult_spark.operators import pairs as P
+    from consult_spark.operators import verify as V
+
+    cands = P.candidate_pairs(
+        B.salted_capped_buckets(B.explode_bands(feats), cfg), cfg)
+    scored = V.channel_scores(cands, feats, "img", cfg)
+    got = {(r["clip_a"], r["clip_b"]): r["jaccard"] for r in scored.collect()}
+    assert ("img_gif", "img_png") in got
+    assert got[("img_gif", "img_png")] >= cfg.txt_jaccard_threshold
+    assert got.get(("img_gif", "img_other"), 0.0) < cfg.txt_jaccard_threshold
