@@ -2,7 +2,14 @@
 entry on Spark and its oracle_sql() twin on DuckDB, compare row count,
 column names, and order-insensitive values.
 
-Usage: python scripts/check_contract.py [sf_dir] [--json-out=FILE] [query ...]
+Usage: python scripts/check_contract.py [sf_dir] [--json-out=FILE] [--hostile] [query ...]
+
+``--hostile`` runs every query on a deliberately adversarial session —
+non-UTC timezone (America/New_York), ANSI mode on — instead of the repo's
+UTC-pinned defaults.  The driver provides its OWN session conf, so any
+query whose answer depends on session conf (the round-5 `session_counts`
+red row: an NTZ->LTZ cast interpreted in session TZ) passes the plain run
+and fails only at the gate.  This sweep closes that class for all entries.
 """
 
 from __future__ import annotations
@@ -56,7 +63,12 @@ def main() -> int:
         )
         return 2
 
-    args = [a for a in sys.argv[1:] if not a.startswith("--json-out=")]
+    hostile = "--hostile" in sys.argv[1:]
+    args = [
+        a
+        for a in sys.argv[1:]
+        if not a.startswith("--json-out=") and a != "--hostile"
+    ]
     json_out = next(
         (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json-out=")),
         None,
@@ -66,11 +78,20 @@ def main() -> int:
 
     from consult_spark.session import get_spark
 
+    extra = {"spark.ui.showConsoleProgress": "false"}
+    if hostile:
+        # emulate a harness that supplies its own session conf: non-UTC TZ
+        # flushes out NTZ<->LTZ casts; ANSI on flushes out silent-overflow /
+        # bad-cast reliance.  Results must be byte-identical to the oracle
+        # under BOTH sessions.
+        extra["spark.sql.session.timeZone"] = "America/New_York"
+        extra["spark.sql.ansi.enabled"] = "true"
+        print("== HOSTILE SESSION: TZ=America/New_York, ANSI=on ==")
     spark = get_spark(
-        "contract_check",
+        "contract_check_hostile" if hostile else "contract_check",
         master="local[8]",
         shuffle_partitions=8,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf=extra,
     )
     con = duckdb.connect()
     for t in TABLES:
