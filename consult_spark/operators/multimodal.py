@@ -237,9 +237,9 @@ def _decode_png(data: bytes) -> np.ndarray:
     icon shape) unfilter in the byte domain (PNG's bpp-rounds-up-to-1
     rule) and then unpack MSB-first bit groups; 16-bit samples keep the
     high byte (the standard 8-bit downsample).  Adam7 interlace decodes
-    at depths 8/16 (seven passes, each unfiltered independently then
-    scattered into place); sub-byte interlace is rejected as
-    ImageDecodeError (soft, per-image).  Gray replicates to 3 channels
+    at every depth: seven passes, each unfiltered independently at its own
+    byte stride (ceil(pw*bit_depth/8) for sub-byte depths) then scattered
+    into place.  Gray replicates to 3 channels
     (sub-byte gray scaled to full range); alpha is dropped (dedup
     features are luminance-based).
     """
@@ -279,11 +279,6 @@ def _decode_png(data: bytes) -> np.ndarray:
             if comp != 0 or filt != 0 or interlace not in (0, 1):
                 raise ImageDecodeError(
                     f"unsupported PNG comp={comp} filter={filt} interlace={interlace}"
-                )
-            if interlace == 1 and bit_depth < 8:
-                # sub-byte Adam7 passes bit-pack per pass row — out of scope
-                raise ImageDecodeError(
-                    f"unsupported PNG: interlaced at depth {bit_depth}"
                 )
         elif ctype == b"PLTE":
             if clen % 3 or clen > 768:
@@ -327,7 +322,10 @@ def _decode_png(data: bytes) -> np.ndarray:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw > 0 and ph > 0:
-                expected += ph * (1 + pw * bpp)
+                # each pass packs ITS OWN scanlines: for sub-byte depths the
+                # per-pass stride is ceil(pw*bit_depth/8) bytes, not pw bytes
+                pstride = (pw * bit_depth + 7) // 8 if bit_depth < 8 else pw * bpp
+                expected += ph * (1 + pstride)
     dec = zlib.decompressobj()
     try:
         # max_length bounds the OUTPUT allocation: a bomb stream yields at
@@ -350,22 +348,36 @@ def _decode_png(data: bytes) -> np.ndarray:
         out = _png_unfilter(rows, units, bpp)
     else:
         # Adam7: 7 sub-images, each its own filtered scanline sequence;
-        # unfilter each pass with the same machinery, scatter into place
-        out = np.zeros((h, w, bpp), dtype=np.uint8)
+        # unfilter each pass with the same machinery, scatter into place.
+        # Sub-byte depths pack each pass at its own byte stride, so those
+        # passes unpack to pixel VALUES before scattering (pixel-space),
+        # while >=8-bit passes scatter reconstructed bytes directly.
+        sub_byte = bit_depth < 8
+        if sub_byte:
+            ilaced_px = np.zeros((h, w), dtype=np.uint8)
+            bitw = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint8)
+        else:
+            out = np.zeros((h, w, bpp), dtype=np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7_PASSES:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            pstride = pw * bpp
+            pstride = (pw * bit_depth + 7) // 8 if sub_byte else pw * bpp
             need = ph * (1 + pstride)
             if off + need > len(raw):
                 raise ImageDecodeError("PNG interlaced raster truncated")
             rows = np.frombuffer(
                 raw, dtype=np.uint8, count=need, offset=off
             ).reshape(ph, 1 + pstride)
-            out[y0::dy, x0::dx] = _png_unfilter(rows, pw, bpp)
+            if sub_byte:
+                unf = _png_unfilter(rows, pstride, 1).reshape(ph, pstride)
+                bits = np.unpackbits(unf, axis=1)
+                vals = bits[:, : pw * bit_depth].reshape(ph, pw, bit_depth)
+                ilaced_px[y0::dy, x0::dx] = (vals * bitw).sum(axis=2).astype(np.uint8)
+            else:
+                out[y0::dy, x0::dx] = _png_unfilter(rows, pw, bpp)
             off += need
         if off != len(raw):
             raise ImageDecodeError("PNG interlaced raster has trailing bytes")
@@ -374,11 +386,14 @@ def _decode_png(data: bytes) -> np.ndarray:
         # 8-bit downsample; dedup features are 8-bit-luminance-based)
         out = np.ascontiguousarray(out.reshape(h, w, ch, 2)[..., 0])
     if bit_depth < 8:
-        # MSB-first bit groups -> per-pixel values, truncated to width
-        bits = np.unpackbits(out.reshape(h, stride), axis=1)
-        vals = bits[:, : w * bit_depth].reshape(h, w, bit_depth)
-        weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint8)
-        px = (vals * weights).sum(axis=2).astype(np.uint8)
+        if interlace == 0:
+            # MSB-first bit groups -> per-pixel values, truncated to width
+            bits = np.unpackbits(out.reshape(h, stride), axis=1)
+            vals = bits[:, : w * bit_depth].reshape(h, w, bit_depth)
+            weights = (1 << np.arange(bit_depth - 1, -1, -1)).astype(np.uint8)
+            px = (vals * weights).sum(axis=2).astype(np.uint8)
+        else:
+            px = ilaced_px  # already unpacked per-pass above
         if color_type == 3:
             if int(px.max(initial=0)) >= palette.shape[0]:
                 raise ImageDecodeError("PNG palette index out of range")
@@ -512,8 +527,15 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             raise ImageDecodeError("JPEG marker desync")
-        marker = data[pos + 1]
-        pos += 2
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a
+        # marker — consume them before interpreting the marker byte
+        pos += 1
+        while pos < n and data[pos] == 0xFF:
+            pos += 1
+        if pos + 3 > n:
+            break
+        marker = data[pos]
+        pos += 1
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue  # standalone markers
         if marker == 0xD9:  # EOI before SOS
@@ -557,11 +579,15 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(body[0:2], "big")
         elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ImageDecodeError("JPEG SOF0 truncated")
             prec, h, w, nc = body[0], int.from_bytes(body[1:3], "big"), int.from_bytes(body[3:5], "big"), body[5]
             if prec != 8:
                 raise ImageDecodeError(f"unsupported JPEG precision {prec}")
             if nc not in (1, 3):
                 raise ImageDecodeError(f"unsupported JPEG component count {nc}")
+            if len(body) < 6 + 3 * nc:
+                raise ImageDecodeError("JPEG SOF0 component list truncated")
             comps = []
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c], body[7 + 3 * c], body[8 + 3 * c]
@@ -573,6 +599,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                 "arithmetic/lossless need a full codec library)"
             )
         elif marker == 0xDA:  # SOS — entropy data follows
+            if len(body) < 1 or len(body) < 1 + 2 * body[0]:
+                raise ImageDecodeError("JPEG SOS truncated")
             ns = body[0]
             sel = []
             for c in range(ns):
@@ -821,9 +849,15 @@ def _decode_gif(data: bytes) -> np.ndarray:
             pos += 1
             while pos < n and data[pos]:
                 sz = data[pos]
+                if pos + 1 + sz > n:
+                    # dirty-corpus guard: a cut-short sub-block must
+                    # soft-fail this image, not IndexError the task
+                    raise ImageDecodeError("GIF truncated in extension sub-block")
                 if label == 0xF9 and sz == 4 and data[pos + 1] & 1:
                     transparent = data[pos + 4]
                 pos += 1 + sz
+            if pos >= n:
+                raise ImageDecodeError("GIF truncated in extension")
             pos += 1  # sub-block terminator
             continue
         if block != 0x2C:

@@ -257,3 +257,24 @@ def test_gif_cross_format_near_dup_confirms_e2e(spark, cfg):
     assert ("img_gif", "img_png") in got
     assert got[("img_gif", "img_png")] >= cfg.txt_jaccard_threshold
     assert got.get(("img_gif", "img_other"), 0.0) < cfg.txt_jaccard_threshold
+
+
+def test_gif_truncated_extension_soft_fails():
+    """A graphic-control extension whose sub-block is cut short must raise
+    ImageDecodeError (the dirty-corpus soft-fail contract), never IndexError
+    — one malformed file must not kill the Spark task (ADVICE r5)."""
+    rng = np.random.default_rng(11)
+    idx, pal = _rand_img(rng, 8, 8, 8)
+    data = encode_gif(idx, pal, transparent=5)
+    i = data.find(b"\x21\xf9\x04")
+    assert i > 0
+    # keep the declared size byte (4) but cut the payload after 1 byte
+    cut = data[: i + 4]
+    with pytest.raises(MM.ImageDecodeError):
+        MM._decode_gif(cut)
+    # also: truncation exactly at the size byte
+    with pytest.raises(MM.ImageDecodeError):
+        MM._decode_gif(data[: i + 3])
+    # and a file ending inside the extension with no terminator
+    with pytest.raises(MM.ImageDecodeError):
+        MM._decode_gif(data[: i + 2])

@@ -629,3 +629,48 @@ def test_jpeg_cross_format_near_dup_confirms_e2e(spark, cfg):
     assert ("img_jpeg", "img_png") in got
     assert got[("img_jpeg", "img_png")] >= cfg.txt_jaccard_threshold
     assert got.get(("img_jpeg", "img_other"), 0.0) < cfg.txt_jaccard_threshold
+
+
+def test_jpeg_truncated_sof0_and_sos_soft_fail():
+    """SOF0/SOS segments cut short of their declared component lists must
+    raise ImageDecodeError, never IndexError (ADVICE r5: one malformed file
+    in a dirty corpus must soft-fail that image, not the Spark task)."""
+    # SOF0 declares 3 components but the segment ends mid-list
+    body = bytes([8, 0, 16, 0, 16, 3, 1, 0x11])  # prec,h,w,nc=3, comp0 cut
+    seg = b"\xff\xc0" + (len(body) + 2).to_bytes(2, "big") + body
+    with pytest.raises(MM.ImageDecodeError):
+        MM.decode_image(b"\xff\xd8" + seg + b"\x00\x00", "jpeg")
+    # SOF0 with a body shorter than the fixed 6-byte header
+    body = bytes([8, 0, 16])
+    seg = b"\xff\xc0" + (len(body) + 2).to_bytes(2, "big") + body
+    with pytest.raises(MM.ImageDecodeError):
+        MM.decode_image(b"\xff\xd8" + seg + b"\x00\x00", "jpeg")
+    # SOS declares 3 scan components but provides only one selector byte
+    body = bytes([3, 1])
+    seg = b"\xff\xda" + (len(body) + 2).to_bytes(2, "big") + body
+    with pytest.raises(MM.ImageDecodeError):
+        MM.decode_image(b"\xff\xd8" + seg + b"\x00\x00", "jpeg")
+    # empty SOS body
+    seg = b"\xff\xda" + (2).to_bytes(2, "big")
+    with pytest.raises(MM.ImageDecodeError):
+        MM.decode_image(b"\xff\xd8" + seg + b"\x00\x00", "jpeg")
+
+
+def test_jpeg_fill_bytes_before_markers():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may pad before a marker.
+    A spec-legal file with fill padding must decode identically to the
+    unpadded stream (ADVICE r5: previously misparsed as segment desync)."""
+    rng = np.random.default_rng(29)
+    img = _smooth_image(rng, 24, 17)
+    data = encode_jpeg(img, "420", restart_interval=2)
+    ref = MM.decode_image(data, "jpeg")
+
+    # insert fill bytes before several header markers: after SOI, before
+    # the first DQT, and before SOF0
+    padded = bytearray(data)
+    for pat, nfill in ((b"\xff\xc0", 3), (b"\xff\xdb", 1), (b"\xff\xc4", 2)):
+        i = bytes(padded).find(pat)
+        assert i > 0
+        padded[i:i] = b"\xff" * nfill
+    got = MM.decode_image(bytes(padded), "jpeg")
+    np.testing.assert_array_equal(got, ref)

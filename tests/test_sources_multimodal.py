@@ -663,3 +663,88 @@ def test_png_rejects_deflate_bomb():
     )
     with pytest.raises(MM.ImageDecodeError, match="exceeds declared raster"):
         MM.decode_image(data, "png")
+
+
+def test_png_adam7_subbyte_depths():
+    """Interlaced PNGs at sub-byte depths (1/2/4-bit gray and palette):
+    each Adam7 pass packs its own scanlines at ceil(pw*bit_depth/8) bytes
+    — NOT pw bytes (ADVICE r5: the old per-pass size formula soft-failed
+    every valid interlaced sub-byte PNG).  Built by an independent encoder
+    slicing the spec's pass offsets/strides, all 5 filter types."""
+    import zlib
+
+    def chunk(ctype, body):
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+    def encode(values, bit_depth, color_type, palette=None):
+        h, w = values.shape
+        raw = bytearray()
+        fi = 0
+        for x0, y0, dx, dy in passes:
+            sub = values[y0::dy, x0::dx]
+            ph, pw = sub.shape
+            if ph == 0 or pw == 0:
+                continue
+            stride = (pw * bit_depth + 7) // 8
+            prev = [0] * stride
+            for r in range(ph):
+                bits = []
+                for v in sub[r]:
+                    bits.extend(
+                        (int(v) >> (bit_depth - 1 - i)) & 1
+                        for i in range(bit_depth)
+                    )
+                bits.extend([0] * (stride * 8 - len(bits)))
+                rowb = [
+                    sum(bits[i * 8 + j] << (7 - j) for j in range(8))
+                    for i in range(stride)
+                ]
+                ft = fi % 5
+                fi += 1
+                line = []
+                for x in range(stride):
+                    a = rowb[x - 1] if x else 0
+                    b = prev[x]
+                    c = prev[x - 1] if x else 0
+                    if ft == 0:
+                        pred = 0
+                    elif ft == 1:
+                        pred = a
+                    elif ft == 2:
+                        pred = b
+                    elif ft == 3:
+                        pred = (a + b) // 2
+                    else:
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    line.append((rowb[x] - pred) % 256)
+                raw += bytes([ft]) + bytes(line)
+                prev = rowb
+        ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + bytes([bit_depth, color_type, 0, 0, 1]))  # interlace=1
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if palette is not None:
+            out += chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        out += chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+        return out
+
+    rng = np.random.default_rng(61)
+    for bit_depth in (1, 2, 4):
+        for h, w in ((10, 13), (3, 3), (1, 9), (8, 1), (5, 2)):
+            vals = rng.integers(0, 1 << bit_depth, size=(h, w), dtype=np.uint8)
+            # gray: scaled to full 8-bit range, replicated to 3 channels
+            got = MM.decode_image(encode(vals, bit_depth, 0), "png")
+            exp = (vals.astype(np.uint16) * 255 // ((1 << bit_depth) - 1)).astype(np.uint8)
+            assert np.array_equal(got, np.repeat(exp[:, :, None], 3, axis=2)), \
+                f"gray d={bit_depth} {h}x{w}"
+            # palette
+            pal = rng.integers(0, 256, size=(1 << bit_depth, 3), dtype=np.uint8)
+            got = MM.decode_image(encode(vals, bit_depth, 3, pal), "png")
+            assert np.array_equal(got, pal[vals]), f"pal d={bit_depth} {h}x{w}"
