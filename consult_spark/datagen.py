@@ -464,14 +464,130 @@ def _jpeg_bytes(img: np.ndarray) -> bytes:
     return bytes(out)
 
 
+def _gif_median_cut(img: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic median-cut to <=256 colors: (palette 256x3 uint8,
+    indices HxW uint8).  Lossless when the image already fits a 256-color
+    table; otherwise boxes split on their widest channel at the
+    pixel-count median and map to the count-weighted box mean — for the
+    smooth gradient corpus the residual is a few LSBs, absorbed by the
+    median-centered block features the same way JPEG quantization is."""
+    h, w, _ = img.shape
+    px = img.reshape(-1, 3).astype(np.int32)
+    uniq, inv, counts = np.unique(
+        px, axis=0, return_inverse=True, return_counts=True
+    )
+    if len(uniq) <= 256:
+        pal, mapped = uniq, inv
+    else:
+        boxes = [np.arange(len(uniq))]
+        while len(boxes) < 256:
+            best, best_range, best_ch = -1, -1, 0
+            for bi, box in enumerate(boxes):
+                if len(box) < 2:
+                    continue
+                rng = uniq[box].max(axis=0) - uniq[box].min(axis=0)
+                ch = int(rng.argmax())
+                if rng[ch] > best_range:
+                    best, best_range, best_ch = bi, int(rng[ch]), ch
+            if best < 0:
+                break
+            box = boxes.pop(best)
+            order = box[np.argsort(uniq[box][:, best_ch], kind="stable")]
+            cum = np.cumsum(counts[order])
+            k = int(np.searchsorted(cum, cum[-1] // 2, side="right"))
+            k = min(max(k, 1), len(order) - 1)
+            boxes.append(order[:k])
+            boxes.append(order[k:])
+        pal = np.array([
+            np.round(
+                (uniq[box] * counts[box, None]).sum(axis=0) / counts[box].sum()
+            )
+            for box in boxes
+        ], dtype=np.int32)
+        box_of = np.empty(len(uniq), dtype=np.int64)
+        for pi, box in enumerate(boxes):
+            box_of[box] = pi
+        mapped = box_of[inv]
+    palette = np.zeros((256, 3), dtype=np.uint8)
+    palette[: len(pal)] = pal.astype(np.uint8)
+    return palette, mapped.reshape(h, w).astype(np.uint8)
+
+
+def _gif_lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """GIF variable-width LZW writer (LSB-first): clear code up front and
+    whenever the table would pass 4096; the width bumps one entry after
+    the decoder's table-size bump (decoder lags encoder by one entry)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {bytes([i]): i for i in range(clear)}
+    next_code, width = eoi + 1, min_code_size + 1
+    emit(clear, width)
+    run = b""
+    for b in indices:
+        step = run + bytes([b])
+        if step in table:
+            run = step
+            continue
+        emit(table[run], width)
+        if next_code < 4096:
+            table[step] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code, width = eoi + 1, min_code_size + 1
+        run = bytes([b])
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_bytes(img: np.ndarray) -> bytes:
+    """GIF89a writer: deterministic median-cut palette (256-entry global
+    color table), 8-bit LZW, single frame, no interlace."""
+    import struct
+
+    h, w, _ = img.shape
+    palette, idx = _gif_median_cut(img)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 7, 0, 0])  # GCT present, 2^8 entries
+    out += palette.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([0])
+    out += bytes([8])  # min code size
+    stream = _gif_lzw_encode(idx.tobytes(), 8)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def generate_image_corpus_pandas(n_rows: int, seed: int = 42) -> pd.DataFrame:
     """Deterministic images with planted near-duplicate structure, mirroring
     the clip corpus: ~30% of bases get a variant (uniform brightness shift
     that the median-centered block features must absorb), rotating
-    PPM/BMP/PNG/JPEG containers so dups cross formats — including the
-    compressed PNG path (stdlib-zlib decode) and the LOSSY baseline-JPEG
+    PPM/BMP/PNG/JPEG/GIF containers so dups cross formats — including the
+    compressed PNG path (stdlib-zlib decode), the LOSSY baseline-JPEG
     path (the brightness-shifted variant of a jpeg base must survive both
-    quantization noise and the shift).  Pixels are smooth gradients +
+    quantization noise and the shift), and the palette-quantized GIF path
+    (median-cut to 256 colors when the image exceeds a color table).  Pixels are smooth gradients +
     seeded low-frequency blobs (structured, like photographs) rather than
     white noise, so block features carry signal."""
     rows = []
@@ -493,9 +609,9 @@ def generate_image_corpus_pandas(n_rows: int, seed: int = 42) -> pd.DataFrame:
         for v_idx, img_v in enumerate(variants):
             if len(rows) >= n_rows:
                 break
-            fmt = ("ppm", "bmp", "png", "jpeg")[(base_idx + v_idx) % 4]
-            enc = {"ppm": _ppm_bytes, "bmp": _bmp_bytes,
-                   "png": _png_bytes, "jpeg": _jpeg_bytes}[fmt]
+            fmt = ("ppm", "bmp", "png", "jpeg", "gif")[(base_idx + v_idx) % 5]
+            enc = {"ppm": _ppm_bytes, "bmp": _bmp_bytes, "png": _png_bytes,
+                   "jpeg": _jpeg_bytes, "gif": _gif_bytes}[fmt]
             rows.append((f"img_{base_idx:06d}_{v_idx}", enc(img_v), 32, 32, fmt))
             i += 1
         base_idx += 1

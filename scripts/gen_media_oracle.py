@@ -157,8 +157,81 @@ def decode_jpeg_py(data: bytes) -> np.ndarray:
     return np.array(oracle_decode_jpeg(data), dtype=np.uint8)
 
 
+def decode_gif_py(data: bytes) -> np.ndarray:
+    """Pure-python GIF87a/89a walk + LZW (engine: numpy table walk in
+    operators/multimodal._decode_gif / _gif_lzw).  Integer-exact, so
+    main() asserts engine == oracle byte-identically, same stance as
+    JPEG.  Covers what the corpus writer emits: global color table,
+    single non-interlaced full-screen frame, no transparency."""
+    assert data[:6] in (b"GIF87a", b"GIF89a")
+    w = int.from_bytes(data[6:8], "little")
+    h = int.from_bytes(data[8:10], "little")
+    flags = data[10]
+    assert flags & 0x80
+    gct_n = 2 << (flags & 7)
+    pos = 13
+    pal = [
+        [data[pos + 3 * i], data[pos + 3 * i + 1], data[pos + 3 * i + 2]]
+        for i in range(gct_n)
+    ]
+    pos += 3 * gct_n
+    while data[pos] == 0x21:  # skip extensions
+        pos += 2
+        while data[pos]:
+            pos += 1 + data[pos]
+        pos += 1
+    assert data[pos] == 0x2C
+    iw = int.from_bytes(data[pos + 5 : pos + 7], "little")
+    ih = int.from_bytes(data[pos + 7 : pos + 9], "little")
+    assert (iw, ih) == (w, h) and not (data[pos + 9] & 0xC0)
+    pos += 10
+    mcs = data[pos]
+    pos += 1
+    stream = bytearray()
+    while data[pos]:
+        sz = data[pos]
+        stream += data[pos + 1 : pos + 1 + sz]
+        pos += 1 + sz
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = mcs + 1
+    bitpos = 0
+    out = bytearray()
+    prev = None
+    nbits = len(stream) * 8
+    while bitpos + width <= nbits and len(out) < w * h:
+        code = 0
+        for k in range(width):
+            code |= ((stream[(bitpos + k) >> 3] >> ((bitpos + k) & 7)) & 1) << k
+        bitpos += width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        else:
+            assert code == len(table)
+            entry = prev + prev[:1]
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        out += entry
+        prev = entry
+    assert len(out) >= w * h
+    px = [[pal[out[y * w + x]] for x in range(w)] for y in range(h)]
+    return np.array(px, dtype=np.uint8)
+
+
 _DECODERS_PY = {"ppm": decode_ppm_py, "bmp": decode_bmp_py,
-                "png": decode_png_py, "jpeg": decode_jpeg_py}
+                "png": decode_png_py, "jpeg": decode_jpeg_py,
+                "gif": decode_gif_py}
 
 
 def image_shingles_oracle(img: np.ndarray) -> set[int]:
@@ -183,6 +256,15 @@ def main() -> None:
     mins: dict[str, list[int]] = {}
     for t in images.itertuples(index=False):
         img = _DECODERS_PY[t.format](bytes(t.bytes))
+        if t.format == "gif":
+            # integer-exact format: engine and oracle must agree EXACTLY
+            from consult_spark.operators import multimodal as MM
+
+            eng = MM.decode_image(bytes(t.bytes), "gif")
+            if not np.array_equal(eng, img):
+                raise AssertionError(
+                    f"{t.img_id}: engine/oracle GIF decode mismatch"
+                )
         if t.format == "jpeg":
             # lossy format: freeze the golden only if engine == oracle decode
             # EXACTLY (see decode_jpeg_py docstring)
