@@ -247,7 +247,7 @@ def entry(spark: SparkSession) -> DataFrame:
     )
     cfg = Config(channels=("txt",))
     features = shingle_op.featurize(clips_like, cfg)
-    buckets = bands_op.salted_capped_buckets(bands_op.explode_bands(features), cfg)
+    buckets = bands_op.capped_buckets(bands_op.explode_bands(features), cfg)
     candidates = pairs_op.candidate_pairs(buckets, cfg)
     confirmed = verify_op.confirm_pairs(candidates, features, clips_like, cfg)
     return cluster_op.assign_clusters(clips_like, confirmed, cfg)
@@ -449,7 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cfg = Config()
         images = spark.read.parquet(os.path.join(_FIXTURES, "media_images.parquet"))
         feats = mm.featurize_images(images, cfg)
-        buckets = bands_op.salted_capped_buckets(bands_op.explode_bands(feats), cfg)
+        buckets = bands_op.capped_buckets(bands_op.explode_bands(feats), cfg)
         cands = pairs_op.candidate_pairs(buckets, cfg)
         scored = verify_op.channel_scores(cands, feats, "img", cfg)
         return scored.filter(F.col("jaccard") >= cfg.txt_jaccard_threshold).select(
@@ -471,7 +471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cfg = Config()
         videos = spark.read.parquet(os.path.join(_FIXTURES, "media_videos.parquet"))
         feats = mm.featurize_videos(videos, cfg)
-        buckets = bands_op.salted_capped_buckets(bands_op.explode_bands(feats), cfg)
+        buckets = bands_op.capped_buckets(bands_op.explode_bands(feats), cfg)
         cands = pairs_op.candidate_pairs(buckets, cfg)
         scored = verify_op.channel_scores(cands, feats, "vid", cfg)
         return scored.filter(F.col("jaccard") >= cfg.txt_jaccard_threshold).select(
@@ -491,7 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cfg = Config()
         clips = _clips_fixture(spark)
         features = shingle_op.featurize(clips, cfg)
-        buckets = bands_op.salted_capped_buckets(bands_op.explode_bands(features), cfg)
+        buckets = bands_op.capped_buckets(bands_op.explode_bands(features), cfg)
         cands = pairs_op.candidate_pairs(buckets, cfg)
         return verify_op.confirm_pairs(cands, features, clips, cfg)
 
@@ -506,7 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cfg = Config()
         clips = _clips_fixture(spark)
         features = shingle_op.featurize(clips, cfg)
-        buckets = bands_op.salted_capped_buckets(bands_op.explode_bands(features), cfg)
+        buckets = bands_op.capped_buckets(bands_op.explode_bands(features), cfg)
         cands = pairs_op.candidate_pairs(buckets, cfg)
         confirmed = verify_op.confirm_pairs(cands, features, clips, cfg)
         return cluster_op.assign_clusters(clips, confirmed, cfg)

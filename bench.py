@@ -201,7 +201,7 @@ def run_audio_pipeline_e2e(spark, clips_path: str, drop_stats: bool = False) -> 
     # clip_id instead — build_index does (docs/SCALE.md).
     features = shingle_op.featurize_from_parquet(spark, clips_path, cfg).persist()
     features.count()  # materialize the cache once; three downstream readers
-    buckets = bands_op.salted_capped_buckets(bands_op.explode_bands(features), cfg)
+    buckets = bands_op.capped_buckets(bands_op.explode_bands(features), cfg)
     # verify references the candidate set three times (pcm scores, txt
     # scores, final join) — unpersisted, the bucket-groupBy + pair-expansion
     # subtree recomputes 3x inside the one action (measured: 181s -> ~140s
@@ -253,7 +253,7 @@ def run_audio_pipeline(spark, clips_path: str) -> dict:
     features = shingle_op.featurize_from_parquet(spark, clips_path, cfg).persist()
     n_features = features.count()
     t_feat = time.time()
-    buckets = bands_op.salted_capped_buckets(bands_op.explode_bands(features), cfg)
+    buckets = bands_op.capped_buckets(bands_op.explode_bands(features), cfg)
     candidates = pairs_op.candidate_pairs(buckets, cfg).persist()
     n_cand = candidates.count()
     t_cand = time.time()

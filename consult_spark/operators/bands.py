@@ -54,7 +54,7 @@ def explode_bands(features: DataFrame) -> DataFrame:
     )
 
 
-def salted_capped_buckets(bands: DataFrame, cfg: Config) -> DataFrame:
+def capped_buckets(bands: DataFrame, cfg: Config) -> DataFrame:
     """bands -> bucket membership with the per-bucket cap enforced.
 
     Returns (clip_id, kind, simhash, n_shingles, table_l, band_hash) with at
@@ -71,6 +71,11 @@ def salted_capped_buckets(bands: DataFrame, cfg: Config) -> DataFrame:
         .filter(F.col("rn") <= cfg.bucket_cap)
         .drop("rn")
     )
+
+
+# deprecated pre-round-5 name (the salt phase is gone; the same bound now
+# comes from the WindowGroupLimit pushdown — see module docstring)
+salted_capped_buckets = capped_buckets
 
 
 def bucket_stats(bands: DataFrame, cfg: Config) -> DataFrame:

@@ -66,7 +66,7 @@ def probe_candidates(query_bands: DataFrame, lib_buckets: DataFrame, cfg: Config
     main_search.cpp:810-846): join query band rows against the prebuilt
     bucket table -> (query_id, lib_id, kind, n_bands).
 
-    The library side is capped (bands.salted_capped_buckets), so each query
+    The library side is capped (bands.capped_buckets), so each query
     band row meets <= cap library rows.  Catalyst picks broadcast when the
     library fits (the distributed stand-in for CONSULT's RAM-resident shared
     index, main_search.cpp:523-658) and a shuffled join otherwise.

@@ -58,7 +58,7 @@ def stream_featurize(
         # compaction cadence (or a manual compact_buckets) re-applies the
         # global cap — probe against the compacted `lsh_buckets`, not
         # buckets_stream, or the cap^2 pair-expansion bound does not hold
-        buckets = bands_op.salted_capped_buckets(bands_op.explode_bands(features), cfg)
+        buckets = bands_op.capped_buckets(bands_op.explode_bands(features), cfg)
         buckets.write.mode("append").parquet(f"{out_dir}/buckets_stream")
         features.unpersist()
         if compact_every > 0 and (epoch_id + 1) % compact_every == 0:
@@ -97,6 +97,6 @@ def compact_buckets(spark: SparkSession, out_dir: str, cfg: Config | None = None
     features = spark.read.parquet(f"{out_dir}/features_stream").dropDuplicates(
         ["clip_id", "kind"]
     )
-    buckets = bands_op.salted_capped_buckets(bands_op.explode_bands(features), cfg)
+    buckets = bands_op.capped_buckets(bands_op.explode_bands(features), cfg)
     buckets.write.mode("overwrite").parquet(f"{out_dir}/lsh_buckets")
     return spark.read.parquet(f"{out_dir}/lsh_buckets")

@@ -37,7 +37,7 @@ def build_index(spark: SparkSession, clips: DataFrame, warehouse_dir: str,
         # verify payload for the suffix-array check in probe mode
         wh.write(clips.select("clip_id", "transcript"), "transcripts")
     bands = bands_op.explode_bands(features)
-    wh.write(bands_op.salted_capped_buckets(bands, cfg), "lsh_buckets")
+    wh.write(bands_op.capped_buckets(bands, cfg), "lsh_buckets")
     wh.write(bands_op.bucket_stats(bands, cfg), "bucket_stats")
     sink.record_stage(wh.read("lsh_buckets"), "lsh_buckets")
     from pyspark.sql import functions as F

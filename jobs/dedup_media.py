@@ -116,7 +116,7 @@ def run_media_pipeline(
 
     buckets = stage(
         "media_buckets",
-        lambda: bands_op.salted_capped_buckets(bands_op.explode_bands(features), cfg),
+        lambda: bands_op.capped_buckets(bands_op.explode_bands(features), cfg),
     )
     candidates = stage("media_candidates", lambda: pairs_op.candidate_pairs(buckets, cfg))
     confirmed = stage(

@@ -74,7 +74,7 @@ def run_pipeline(
     sink.add("features", "decode_failed", features.filter(~F.col("decode_ok")).count())
     buckets = stage(
         "buckets",
-        lambda: bands_op.salted_capped_buckets(bands_op.explode_bands(features), cfg),
+        lambda: bands_op.capped_buckets(bands_op.explode_bands(features), cfg),
     )
     stage("bucket_stats", lambda: bands_op.bucket_stats(bands_op.explode_bands(features), cfg))
     candidates = stage("candidates", lambda: pairs_op.candidate_pairs(buckets, cfg))

@@ -31,7 +31,7 @@ def test_cap_enforced_on_hot_bucket(spark, features_xs, cfg):
     from consult_spark.config import Config
 
     small = Config(bucket_cap=8)
-    capped = B.salted_capped_buckets(bands, small)
+    capped = B.capped_buckets(bands, small)
     post = capped.groupBy(*B.BUCKET_COLS).count()
     assert post.agg(F.max("count")).first()[0] <= small.bucket_cap
     # every pre-cap bucket still exists post-cap
@@ -45,7 +45,7 @@ def test_cap_keeps_smallest_clip_ids(spark, features_xs, cfg):
 
     small = Config(bucket_cap=5)
     bands = B.explode_bands(features_xs).filter(F.col("kind") == "pcm")
-    capped = B.salted_capped_buckets(bands, small)
+    capped = B.capped_buckets(bands, small)
     got = {
         (r["kind"], r["table_l"], r["band_hash"]): sorted(r["members"])
         for r in capped.groupBy(*B.BUCKET_COLS)
@@ -71,15 +71,15 @@ def test_bucket_stats_counts_drops(spark, features_xs):
 
 
 def test_buckets_deterministic_across_partitionings(spark, features_xs, cfg):
-    a = B.salted_capped_buckets(B.explode_bands(features_xs.repartition(3)), cfg)
-    b = B.salted_capped_buckets(B.explode_bands(features_xs.repartition(11, "clip_id")), cfg)
+    a = B.capped_buckets(B.explode_bands(features_xs.repartition(3)), cfg)
+    b = B.capped_buckets(B.explode_bands(features_xs.repartition(11, "clip_id")), cfg)
     sa = sorted(map(tuple, a.collect()))
     sb = sorted(map(tuple, b.collect()))
     assert sa == sb
 
 
 def test_buckets_match_oracle(spark, features_xs, oracle_xs, cfg):
-    capped = B.salted_capped_buckets(B.explode_bands(features_xs), cfg)
+    capped = B.capped_buckets(B.explode_bands(features_xs), cfg)
     got: dict = {}
     for r in capped.collect():
         got.setdefault((r["kind"], r["table_l"], int(np.uint64(np.int64(r["band_hash"])))), []).append(

@@ -383,7 +383,7 @@ def test_ima_adpcm_near_dup_pair_confirms_e2e(spark, cfg):
     feats = SH.featurize(spark.createDataFrame(rows), cfg)
     pcm_feats = feats.filter("kind = 'pcm'")
     assert all(r["decode_ok"] for r in pcm_feats.collect())
-    cands = P.candidate_pairs(B.salted_capped_buckets(B.explode_bands(pcm_feats), cfg), cfg)
+    cands = P.candidate_pairs(B.capped_buckets(B.explode_bands(pcm_feats), cfg), cfg)
     scored = {
         (r["clip_a"], r["clip_b"]): r["jaccard"]
         for r in V.channel_scores(cands, pcm_feats, "pcm", cfg).collect()

@@ -553,7 +553,7 @@ def test_flac_near_dup_pair_confirms_e2e(spark, cfg):
     from consult_spark.operators import verify as V
 
     feats = SH.featurize(clips, cfg)
-    cands = P.candidate_pairs(B.salted_capped_buckets(B.explode_bands(feats), cfg), cfg)
+    cands = P.candidate_pairs(B.capped_buckets(B.explode_bands(feats), cfg), cfg)
     confirmed = V.confirm_pairs(cands, feats, clips, cfg)
     got = {(r["clip_a"], r["clip_b"]) for r in confirmed.collect()}
     assert ("clip_flac", "clip_wav") in got

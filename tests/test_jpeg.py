@@ -623,7 +623,7 @@ def test_jpeg_cross_format_near_dup_confirms_e2e(spark, cfg):
     from consult_spark.operators import pairs as P
     from consult_spark.operators import verify as V
 
-    cands = P.candidate_pairs(B.salted_capped_buckets(B.explode_bands(feats), cfg), cfg)
+    cands = P.candidate_pairs(B.capped_buckets(B.explode_bands(feats), cfg), cfg)
     scored = V.channel_scores(cands, feats, "img", cfg)
     got = {(r["clip_a"], r["clip_b"]): r["jaccard"] for r in scored.collect()}
     assert ("img_jpeg", "img_png") in got

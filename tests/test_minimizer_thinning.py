@@ -55,7 +55,7 @@ def s_tier_thinned(spark):
     clips = clips.persist()
     clips.count()
     feats = SH.featurize(clips, THINNED).persist()
-    buckets = B.salted_capped_buckets(B.explode_bands(feats), THINNED)
+    buckets = B.capped_buckets(B.explode_bands(feats), THINNED)
     cands = P.candidate_pairs(buckets, THINNED)
     confirmed = V.confirm_pairs(cands, feats, clips, THINNED).persist()
     clusters = {

@@ -19,7 +19,7 @@ def features_xs(spark, clips_xs, cfg):
 
 @pytest.fixture(scope="module")
 def buckets_xs(spark, features_xs, cfg):
-    return B.salted_capped_buckets(B.explode_bands(features_xs), cfg).cache()
+    return B.capped_buckets(B.explode_bands(features_xs), cfg).cache()
 
 
 @pytest.fixture(scope="module")

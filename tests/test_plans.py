@@ -41,7 +41,7 @@ def test_txt_only_featurize_never_reads_bytes(clips_parquet, cfg):
 
 def test_pair_generation_has_no_cartesian_or_python(spark, clips_parquet, cfg):
     feats = SH.featurize(clips_parquet, cfg)
-    buckets = B.salted_capped_buckets(B.explode_bands(feats), cfg)
+    buckets = B.capped_buckets(B.explode_bands(feats), cfg)
     pairs = P.candidate_pairs(buckets, cfg)
     props = plan_properties(pairs)
     assert not props["has_cartesian"]

@@ -25,7 +25,7 @@ def s_tier(spark, cfg):
     clips = clips.persist()
     clips.count()
     feats = SH.featurize(clips, cfg).persist()
-    buckets = B.salted_capped_buckets(B.explode_bands(feats), cfg)
+    buckets = B.capped_buckets(B.explode_bands(feats), cfg)
     cands = P.candidate_pairs(buckets, cfg)
     confirmed = V.confirm_pairs(cands, feats, clips, cfg).persist()
     clusters = {

@@ -407,7 +407,7 @@ def test_png_cross_format_dup_confirms_through_verify(spark, cfg):
     from consult_spark.operators import pairs as P
     from consult_spark.operators import verify as V
 
-    cands = P.candidate_pairs(B.salted_capped_buckets(B.explode_bands(feats), cfg), cfg)
+    cands = P.candidate_pairs(B.capped_buckets(B.explode_bands(feats), cfg), cfg)
     scored = {
         (r["clip_a"], r["clip_b"]): r["jaccard"]
         for r in V.channel_scores(cands, feats, "img", cfg).collect()
@@ -544,7 +544,7 @@ def test_real_video_dup_confirms_through_verify(spark, cfg):
     from consult_spark.operators import verify as V
 
     good = feats.filter("decode_ok")
-    cands = P.candidate_pairs(B.salted_capped_buckets(B.explode_bands(good), cfg), cfg)
+    cands = P.candidate_pairs(B.capped_buckets(B.explode_bands(good), cfg), cfg)
     scored = {
         (r["clip_a"], r["clip_b"]): r["jaccard"]
         for r in V.channel_scores(cands, good, "vid", cfg).collect()
@@ -579,7 +579,7 @@ def test_real_image_dup_confirms_through_verify(spark, cfg):
     from consult_spark.operators import pairs as P
     from consult_spark.operators import verify as V
 
-    cands = P.candidate_pairs(B.salted_capped_buckets(B.explode_bands(feats), cfg), cfg)
+    cands = P.candidate_pairs(B.capped_buckets(B.explode_bands(feats), cfg), cfg)
     scored = {
         (r["clip_a"], r["clip_b"]): r["jaccard"]
         for r in V.channel_scores(cands, feats, "img", cfg).collect()
@@ -612,7 +612,7 @@ def test_image_featurize_plumbing(spark, cfg):
     from consult_spark.operators import bands as B
     from consult_spark.operators import pairs as P
 
-    cands = P.candidate_pairs(B.salted_capped_buckets(B.explode_bands(feats), cfg), cfg)
+    cands = P.candidate_pairs(B.capped_buckets(B.explode_bands(feats), cfg), cfg)
     pairs = {(r["clip_a"], r["clip_b"]) for r in cands.collect()}
     assert ("img_a", "img_b") in pairs
 

@@ -37,7 +37,7 @@ def test_stream_featurize_matches_batch(spark, corpus_xs, cfg, tmp_path):
     # batch build over the same clips (per-batch caps are NOT global — the
     # hot-clique rows overflow buckets_stream across batches)
     compacted = compact_buckets(spark, out_dir, cfg)
-    expected = B.salted_capped_buckets(B.explode_bands(batch), cfg)
+    expected = B.capped_buckets(B.explode_bands(batch), cfg)
     got_rows = sorted(tuple(r) for r in compacted.collect())
     exp_rows = sorted(tuple(r) for r in expected.collect())
     assert got_rows == exp_rows
@@ -71,7 +71,7 @@ def test_compaction_cadence_runs_inside_stream(spark, corpus_xs, cfg, tmp_path):
 
     compacted = spark.read.parquet(os.path.join(out_dir, "lsh_buckets"))
     batch = SH.featurize(spark.createDataFrame(pdf), cfg)
-    expected = B.salted_capped_buckets(B.explode_bands(batch), cfg)
+    expected = B.capped_buckets(B.explode_bands(batch), cfg)
     assert sorted(tuple(r) for r in compacted.collect()) == sorted(
         tuple(r) for r in expected.collect()
     )
@@ -88,7 +88,7 @@ def test_compaction_dedupes_replayed_batch(spark, corpus_xs, cfg, tmp_path):
     features.write.mode("append").parquet(os.path.join(out_dir, "features_stream"))
 
     compacted = compact_buckets(spark, out_dir, cfg)
-    expected = B.salted_capped_buckets(B.explode_bands(features), cfg)
+    expected = B.capped_buckets(B.explode_bands(features), cfg)
     assert sorted(tuple(r) for r in compacted.collect()) == sorted(
         tuple(r) for r in expected.collect()
     )
