@@ -546,6 +546,47 @@ def register_decoder(codec: str, fn) -> None:
     _DECODERS[codec] = fn
 
 
+# codecs libsndfile can decode once the `soundfile` wheel is shipped; mp3
+# needs libsndfile >= 1.1, opus/vorbis an ogg-enabled build — the wrapper
+# soft-fails per clip either way, so over-registering is safe.
+SOUNDFILE_CODECS = ("mp3", "ogg", "vorbis", "opus", "flac", "aac")
+
+
+def register_soundfile_decoders(codecs: tuple = SOUNDFILE_CODECS) -> list:
+    """Back the compressed-codec slots with libsndfile via the ``soundfile``
+    wheel — the deployment recipe for real lossy corpora (the wheel is not
+    in this image; install it and ship with --py-files/--archives, then call
+    this from a module the executors import).  Returns the codec names
+    registered; raises ImportError when the library is absent so callers
+    gate cleanly::
+
+        try:
+            audio.register_soundfile_decoders()
+        except ImportError:
+            pass  # pure-numpy WAV/FLAC/G.711/ADPCM paths still work
+
+    The wrapper downmixes to float32 mono (channel mean, matching
+    decode_wav_pcm16) and re-raises libsndfile parse failures as
+    AudioDecodeError, keeping the per-clip soft-fail contract on dirty
+    corpora."""
+    import io as _io
+
+    import soundfile as _sf  # ImportError here is the caller's gate
+
+    def _decode(data: bytes) -> tuple[np.ndarray, int]:
+        try:
+            x, sr = _sf.read(_io.BytesIO(data), dtype="float32", always_2d=True)
+        except Exception as e:  # LibsndfileError/RuntimeError on corrupt input
+            raise AudioDecodeError(f"soundfile decode failed: {e}") from e
+        if x.size == 0:
+            raise AudioDecodeError("soundfile produced no samples")
+        return np.ascontiguousarray(x.mean(axis=1), dtype=np.float32), int(sr)
+
+    for c in codecs:
+        register_decoder(c, _decode)
+    return list(codecs)
+
+
 def decode_clip(data: bytes, codec: str) -> tuple[np.ndarray, int]:
     """Codec dispatch.  Every WAV-container sample format decodes with pure
     numpy (see decode_wav_pcm16); compressed codecs need decoder libraries
