@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..datagen import CLIPS_SCHEMA
 from ..functions.audio import decode_wav_pcm16
+from ..functions.probe import AudioDecodeError, probe_audio
 
 
 def read_wav_directory(
@@ -54,6 +55,57 @@ def read_wav_directory(
                     sr, dur_ms, codec = 0, np.int32(0), "unknown"
                 stem = os.path.splitext(os.path.basename(t.path))[0]
                 out.append((stem, data, np.int32(sr), dur_ms, codec, ""))
+            yield pd.DataFrame(
+                out,
+                columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"],
+            )
+
+    clips = raw.mapInPandas(sniff, schema=CLIPS_SCHEMA)
+    if transcripts is not None:
+        clips = (
+            clips.drop("transcript")
+            .join(transcripts.select("clip_id", "transcript"), "clip_id", "left")
+            .withColumn("transcript", F.coalesce("transcript", F.lit("")))
+        )
+    return clips
+
+
+def read_audio_directory(
+    spark: SparkSession,
+    path: str,
+    glob: str = "*",
+    transcripts: DataFrame | None = None,
+) -> DataFrame:
+    """Mixed-container ingest: WAV / FLAC / mp3 / Ogg (vorbis, opus) / M4A
+    under ``path`` -> clips DataFrame (contract schema).
+
+    Metadata comes from HEADER-ONLY probes (functions/probe.py) — no sample
+    decode at ingest, so listing a 100 TB corpus costs O(headers) of CPU on
+    top of the IO Spark already pays to materialize the bytes column.  The
+    codec column routes each clip to the right decoder (or to the registry
+    stub) downstream; unparseable files land with codec='unknown' and keep
+    flowing (per-clip soft fail, same contract as featurize/decode_ok).
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+    )
+
+    def sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for t in pdf.itertuples(index=False):
+                data = bytes(t.content)
+                try:
+                    meta = probe_audio(data)
+                    codec = meta["codec"]
+                    sr, dur = meta["sr_hz"], meta["dur_ms"]
+                except AudioDecodeError:
+                    codec, sr, dur = "unknown", 0, 0
+                stem = os.path.splitext(os.path.basename(t.path))[0]
+                out.append((stem, data, np.int32(sr), np.int32(dur), codec, ""))
             yield pd.DataFrame(
                 out,
                 columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec", "transcript"],

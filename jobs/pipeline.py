@@ -103,7 +103,13 @@ def run_pipeline(
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--clips", required=True, help="parquet path of the clips table")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--clips", help="parquet path of the clips table")
+    src.add_argument(
+        "--clips-dir",
+        help="directory of raw audio files (wav/flac/mp3/ogg/m4a); metadata "
+        "is filled by header-only probes (sources/clips.py)",
+    )
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--master", default=None)
@@ -112,7 +118,12 @@ def main() -> None:
     from consult_spark.session import get_spark
 
     spark = get_spark("consult_spark.pipeline", master=args.master)
-    clips = spark.read.parquet(args.clips)
+    if args.clips_dir:
+        from consult_spark.sources.clips import read_audio_directory
+
+        clips = read_audio_directory(spark, args.clips_dir)
+    else:
+        clips = spark.read.parquet(args.clips)
     res = run_pipeline(spark, clips, args.warehouse, resume=args.resume)
     print({"run_id": res["run_id"], "timings": {k: round(v, 2) for k, v in res["timings"].items()}})
     spark.stop()
