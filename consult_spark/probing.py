@@ -1,0 +1,58 @@
+"""Query-vs-library probe core: featurize query clips, band them, join
+against a prebuilt `lsh_buckets` index, verify candidates exactly.
+
+The one probe flow CONSULT runs per `./main_search` invocation
+(main_search.cpp:684-1061), shared verbatim by the batch search job
+(jobs/search.py) and the continuous streaming probe
+(streaming/probe.py) so both surfaces classify identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import Config
+from .operators import bands as bands_op
+from .operators import pairs as pairs_op
+from .operators import shingle as shingle_op
+from .operators import verify as verify_op
+
+
+def probe_clips(
+    spark: SparkSession,
+    queries: DataFrame,
+    lib_buckets: DataFrame,
+    lib_features: DataFrame,
+    lib_transcripts: DataFrame | None,
+    cfg: Config,
+) -> DataFrame:
+    """-> confirmed pairs (clip_a = query_id, clip_b = lib_id), verified
+    through the full ladder (SimHash prefilter, exact Jaccard, suffix-array
+    containment).  Library-side inputs are DataFrames so a long-lived caller
+    (the streaming probe) can cache them once across micro-batches."""
+    q_features = shingle_op.featurize(queries, cfg)
+    q_bands = bands_op.explode_bands(q_features)
+    cands = pairs_op.probe_candidates(q_bands, lib_buckets, cfg)
+
+    pair_shaped = cands.select(
+        F.col("query_id").alias("clip_a"),
+        F.col("lib_id").alias("clip_b"),
+        "n_bands_pcm",
+        "n_bands_txt",
+    )
+    all_features = q_features.unionByName(lib_features).dropDuplicates(
+        ["clip_id", "kind"]
+    )
+    # transcripts for the suffix-array check come from whichever sides have
+    # them; a pcm-only index (or pcm-only queries) skips the LCS channel
+    # gracefully instead of failing on a missing table/column
+    empty_tr = spark.createDataFrame([], "clip_id string, transcript string")
+    q_tr = (
+        queries.select("clip_id", "transcript")
+        if "transcript" in queries.columns
+        else empty_tr
+    )
+    lib_tr = lib_transcripts if lib_transcripts is not None else empty_tr
+    transcripts = q_tr.unionByName(lib_tr).dropDuplicates(["clip_id"])
+    return verify_op.confirm_pairs(pair_shaped, all_features, transcripts, cfg)

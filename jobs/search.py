@@ -22,10 +22,7 @@ from pyspark.sql import functions as F
 from consult_spark.config import Config
 from consult_spark.io import Warehouse
 from consult_spark.metrics import MetricsSink
-from consult_spark.operators import bands as bands_op
-from consult_spark.operators import pairs as pairs_op
-from consult_spark.operators import shingle as shingle_op
-from consult_spark.operators import verify as verify_op
+from consult_spark.probing import probe_clips
 
 
 def search(spark: SparkSession, queries: DataFrame, warehouse_dir: str,
@@ -47,32 +44,10 @@ def search(spark: SparkSession, queries: DataFrame, warehouse_dir: str,
 
     lib_buckets = wh.read("lsh_buckets")
     lib_features = wh.read("features")
-
-    q_features = shingle_op.featurize(queries, cfg)
-    q_bands = bands_op.explode_bands(q_features)
-    cands = pairs_op.probe_candidates(q_bands, lib_buckets, cfg)
-
-    # verify with the query side as clip_a and library side as clip_b,
-    # reusing the pair verifier over the union of both feature tables
-    pair_shaped = cands.select(
-        F.col("query_id").alias("clip_a"),
-        F.col("lib_id").alias("clip_b"),
-        "n_bands_pcm",
-        "n_bands_txt",
-    )
-    all_features = q_features.unionByName(lib_features).dropDuplicates(["clip_id", "kind"])
-    # transcripts for the suffix-array check come from whichever sides have
-    # them; a pcm-only index (or pcm-only queries) skips the LCS channel
-    # gracefully instead of failing on a missing table/column
-    empty_tr = spark.createDataFrame([], "clip_id string, transcript string")
-    q_tr = (
-        queries.select("clip_id", "transcript")
-        if "transcript" in queries.columns
-        else empty_tr
-    )
-    lib_tr = wh.read("transcripts") if wh.exists("transcripts") else empty_tr
-    transcripts = q_tr.unionByName(lib_tr).dropDuplicates(["clip_id"])
-    confirmed = verify_op.confirm_pairs(pair_shaped, all_features, transcripts, cfg)
+    lib_tr = wh.read("transcripts") if wh.exists("transcripts") else None
+    # verify with the query side as clip_a and library side as clip_b —
+    # the probe core shared with the continuous probe (streaming/probe.py)
+    confirmed = probe_clips(spark, queries, lib_buckets, lib_features, lib_tr, cfg)
 
     matched = confirmed.select(F.col("clip_a").alias("clip_id")).distinct()
     unmatched = queries.select("clip_id").join(matched, "clip_id", "left_anti")

@@ -1,0 +1,99 @@
+"""Continuous query-vs-library probe (streaming/probe.py): micro-batched
+classification must equal the batch search job on the same queries, and a
+checkpoint restart must not duplicate output rows."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from consult_spark.streaming.probe import stream_probe
+from jobs.build_index import build_index
+from jobs.search import search
+
+
+@pytest.fixture(scope="module")
+def probe_setup(spark, corpus_xs, cfg, tmp_path_factory):
+    """Library = base clips + hot clique; stream = variants + fresh solos,
+    written as 3 files to exercise multi-batch behavior."""
+    lay = corpus_xs["layout"]
+    clips = corpus_xs["clips"]
+    lib_ids = set(lay[(lay.variant_idx == 0) | (lay.group_kind == "hot")]["clip_id"])
+    lib = clips[clips.clip_id.isin(lib_ids)]
+    qry = clips[~clips.clip_id.isin(lib_ids)].reset_index(drop=True)
+    wh_dir = str(tmp_path_factory.mktemp("probe_index"))
+    build_index(spark, spark.createDataFrame(lib), wh_dir, cfg=cfg)
+    clips_dir = str(tmp_path_factory.mktemp("probe_stream") / "clips_in")
+    third = (len(qry) + 2) // 3
+    for i in range(3):
+        part = qry.iloc[i * third : (i + 1) * third]
+        if len(part):
+            spark.createDataFrame(part).coalesce(1).write.mode("append").parquet(
+                clips_dir
+            )
+    return wh_dir, clips_dir, qry
+
+
+def test_stream_probe_matches_batch_search(spark, probe_setup, cfg, tmp_path):
+    wh_dir, clips_dir, qry = probe_setup
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_probe(
+        spark, clips_dir, wh_dir, out_dir, ckpt, cfg=cfg, max_files_per_trigger=1
+    )
+    q.awaitTermination(180)
+
+    got_pairs = {
+        (r["clip_a"], r["clip_b"])
+        for r in spark.read.parquet(os.path.join(out_dir, "matched_clips")).collect()
+    }
+    res = search(spark, spark.createDataFrame(qry), wh_dir, cfg=cfg)
+    exp_pairs = {
+        (r["clip_a"], r["clip_b"]) for r in res["confirmed"].collect()
+    }
+    assert got_pairs == exp_pairs and len(got_pairs) > 0
+
+    streamed_unmatched = {
+        r["clip_id"]
+        for r in spark.read.parquet(os.path.join(out_dir, "unmatched_clips")).collect()
+    }
+    exp_unmatched = {r["clip_id"] for r in res["unmatched"].collect()}
+    assert streamed_unmatched == exp_unmatched
+    # matched + unmatched partition the streamed clips exactly
+    assert len({a for a, _ in got_pairs} | streamed_unmatched) == len(qry)
+
+
+def test_stream_probe_checkpoint_restart_no_duplicates(spark, probe_setup, cfg, tmp_path):
+    wh_dir, clips_dir, _ = probe_setup
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_probe(spark, clips_dir, wh_dir, out_dir, ckpt, cfg=cfg)
+    q.awaitTermination(180)
+    n_matched = spark.read.parquet(os.path.join(out_dir, "matched_clips")).count()
+    n_unmatched = spark.read.parquet(os.path.join(out_dir, "unmatched_clips")).count()
+
+    q2 = stream_probe(spark, clips_dir, wh_dir, out_dir, ckpt, cfg=cfg)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(os.path.join(out_dir, "matched_clips")).count() == n_matched
+    assert (
+        spark.read.parquet(os.path.join(out_dir, "unmatched_clips")).count()
+        == n_unmatched
+    )
+
+
+def test_stream_probe_rejects_mismatched_config(spark, probe_setup, tmp_path):
+    from consult_spark.config import Config
+
+    wh_dir, clips_dir, _ = probe_setup
+    with pytest.raises(ValueError):
+        stream_probe(
+            spark,
+            clips_dir,
+            wh_dir,
+            str(tmp_path / "out"),
+            str(tmp_path / "ckpt"),
+            cfg=Config(bucket_cap=5),
+        )
