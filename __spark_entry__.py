@@ -495,6 +495,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cands = pairs_op.candidate_pairs(buckets, cfg)
         return verify_op.confirm_pairs(cands, features, clips, cfg)
 
+    def q_probe_metadata(spark, sf):
+        """Header-only container probes (functions/probe.py) must recover
+        the generator's stored (codec, sr_hz, dur_ms) from bytes alone —
+        oracle = datagen's own metadata columns, ground truth by
+        construction (dur_ms is computed from the actual sample count at
+        synthesis)."""
+        import pandas as pd
+
+        from consult_spark.functions.probe import probe_audio
+
+        clips = _clips_fixture(spark)
+
+        def p(batches):
+            for pdf in batches:
+                rows = [
+                    (t.clip_id, *(lambda m: (m["codec"], m["sr_hz"], m["dur_ms"]))(
+                        probe_audio(bytes(t.bytes))
+                    ))
+                    for t in pdf.itertuples(index=False)
+                ]
+                yield pd.DataFrame(
+                    rows, columns=["clip_id", "codec", "sr_hz", "dur_ms"]
+                )
+
+        return clips.select("clip_id", "bytes").mapInPandas(
+            p, "clip_id string, codec string, sr_hz int, dur_ms int"
+        )
+
     def q_audio_clusters(spark, sf):
         from consult_spark.config import Config
         from consult_spark.operators import bands as bands_op
@@ -559,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_pricing": q_lineitem_pricing,
         "audio_confirmed_pairs": q_audio_confirmed_pairs,
         "audio_clusters": q_audio_clusters,
+        "probe_metadata": q_probe_metadata,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_near_dup_lsh": q_ann_near_dup_lsh,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -967,6 +996,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "audio_clusters": f"""
             SELECT * FROM read_parquet('{_FIXTURES}/oracle_audio_clusters.parquet')
+        """,
+        "probe_metadata": f"""
+            SELECT clip_id, codec, sr_hz, dur_ms
+            FROM read_parquet('{_FIXTURES}/oracle_probe_metadata.parquet')
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -57,10 +57,20 @@ def main() -> None:
         [{"clip_id": cid, "cluster_id": lab} for cid, lab in sorted(r.clusters.items())]
     )
 
+    # probe_metadata golden: the GENERATOR's own stored metadata columns —
+    # ground truth by construction (dur_ms is computed from the actual
+    # sample count at synthesis, datagen.synthesize_rows) — which the
+    # header-only probes (functions/probe.py) must recover from bytes alone
+    meta = clips[["clip_id", "codec", "sr_hz", "dur_ms"]].astype(
+        {"sr_hz": "int32", "dur_ms": "int32"}
+    )
+
     os.makedirs(FIXTURE_DIR, exist_ok=True)
     confirmed.to_parquet(os.path.join(FIXTURE_DIR, "oracle_audio_confirmed_pairs.parquet"), index=False)
     clusters.to_parquet(os.path.join(FIXTURE_DIR, "oracle_audio_clusters.parquet"), index=False)
-    print(f"wrote {len(confirmed)} confirmed pairs, {len(clusters)} cluster rows -> {FIXTURE_DIR}")
+    meta.to_parquet(os.path.join(FIXTURE_DIR, "oracle_probe_metadata.parquet"), index=False)
+    print(f"wrote {len(confirmed)} confirmed pairs, {len(clusters)} cluster rows, "
+          f"{len(meta)} probe-metadata rows -> {FIXTURE_DIR}")
 
 
 if __name__ == "__main__":
