@@ -656,7 +656,8 @@ def run_scaling(repeats: int = 2) -> None:
 
 
 def run_single_audio(cores: int, n_clips: int | None = None,
-                     hot_frac: float | None = None, drop_stats: bool = False) -> None:
+                     hot_frac: float | None = None, drop_stats: bool = False,
+                     staged: bool = False) -> None:
     from consult_spark.session import get_spark
 
     spark = get_spark(f"bench_audio_{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
@@ -666,7 +667,13 @@ def run_single_audio(cores: int, n_clips: int | None = None,
     clips_path, _ = bench_clips_path(spark, sf, hot_frac=hot_frac)
     warm_python_workers(spark)
     calib_pre = _calibrate()
-    res = run_audio_pipeline_e2e(spark, clips_path, drop_stats=drop_stats)
+    s0 = _steal_ticks()
+    if staged:
+        res = run_audio_pipeline(spark, clips_path)
+        res.update(res.pop("stage_sec"))
+    else:
+        res = run_audio_pipeline_e2e(spark, clips_path, drop_stats=drop_stats)
+    res["steal_ticks"] = res.get("steal_ticks", _steal_ticks() - s0)
     res["calib_pre"] = calib_pre
     res["calib_post"] = _calibrate()
     res = {k: (round(v, 3) if isinstance(v, float) else v) for k, v in res.items()}
@@ -784,6 +791,10 @@ def main() -> None:
                     help="plant a hot clique of this fraction in the corpus")
     ap.add_argument("--drop-stats", action="store_true",
                     help="report cap-drop accounting (untimed) with --single-audio")
+    ap.add_argument("--staged", action="store_true",
+                    help="with --single-audio: per-stage walls (featurize/"
+                    "bucket_pairs/verify/cluster) instead of the one-action "
+                    "e2e timing — the stage-efficiency measurement mode")
     ap.add_argument(
         "--keep-cache", action="store_true",
         help="skip the end-of-run fixture-cache prune (iterating on one tier)",
@@ -794,7 +805,7 @@ def main() -> None:
     if args.single_audio:
         os.environ["SPARK_GRAFT_CPUS"] = str(args.cores)
         run_single_audio(args.cores, args.n_clips, hot_frac=args.hot_frac,
-                         drop_stats=args.drop_stats)
+                         drop_stats=args.drop_stats, staged=args.staged)
         return
     if args.scaling:
         run_scaling()
