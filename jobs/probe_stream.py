@@ -1,0 +1,59 @@
+"""Continuous probe job — the streaming counterpart of jobs/search.py:
+classify newly-arriving clip files against a prebuilt index
+(jobs/build_index.py) until stopped, appending verified matches and
+per-batch unmatched ids under a checkpoint (exactly-once resume).
+
+    spark-submit --py-files dist/consult_spark.zip jobs/probe_stream.py \
+        --clips <streaming parquet dir> --warehouse <index dir> \
+        --out <dir> --checkpoint <dir> [--once]
+
+``--once`` processes everything currently available and exits (the
+Trigger.AvailableNow semantics the library uses); without it the job waits
+for the stream to terminate externally.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", required=True, help="streaming source dir (parquet)")
+    ap.add_argument("--warehouse", required=True, help="index dir from build_index")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--once", action="store_true")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--max-files-per-trigger", type=int, default=4)
+    args = ap.parse_args()
+
+    from consult_spark.session import get_spark
+    from consult_spark.streaming.probe import stream_probe
+
+    spark = get_spark("consult_spark.probe_stream", master=args.master)
+    q = stream_probe(
+        spark,
+        args.clips,
+        args.warehouse,
+        args.out,
+        args.checkpoint,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    # the library always runs availableNow (drain-what-exists); --once is
+    # the explicit contract, kept as a flag for forward compatibility
+    q.awaitTermination()
+    import os
+
+    matched_dir = os.path.join(args.out, "matched_clips")
+    n = (
+        spark.read.parquet(matched_dir).count()
+        if os.path.isdir(matched_dir)
+        else 0
+    )
+    print({"n_matched_rows": n})
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
