@@ -245,7 +245,14 @@ def probe_ogg(data: bytes) -> dict:
 
 
 def probe_mp4(data: bytes) -> dict:
-    """MP4/M4A box walk: ftyp -> codec 'aac'; duration from moov/mvhd."""
+    """MP4/M4A box walk (ISO/IEC 14496-12): sr_hz and n_channels come from
+    the AUDIO trak — the stsd/mp4a AudioSampleEntry (channelcount @16,
+    samplerate 16.16-fixed @24 of the entry body), falling back to the
+    trak's mdhd media timescale — because the mvhd MOVIE timescale is a
+    tick rate real muxers set to 600/1000, not the sample rate.  Duration
+    prefers the audio trak's mdhd (media units) and falls back to mvhd.
+    Legacy mvhd-only files (no trak) still probe via mvhd so a bare header
+    yields (codec, dur_ms) rather than an error."""
     if len(data) < 12 or data[4:8] != b"ftyp":
         raise AudioDecodeError("not an MP4 container")
 
@@ -265,30 +272,81 @@ def probe_mp4(data: bytes) -> dict:
             yield btype, body_off, pos + size
             pos += size
 
-    for btype, off, bend in boxes(data, 0, len(data)):
-        if btype != b"moov":
+    def child(pos: int, end: int, name: bytes):
+        for t, o, e in boxes(data, pos, end):
+            if t == name:
+                return o, e
+        return None
+
+    def timescale_duration(ioff: int, iend: int, v1_off: int, v0_off: int):
+        """mvhd/mdhd share the layout: version byte, then (creation,
+        modification) at 2x(4|8) bytes, then timescale u32 + duration
+        (u32|u64).  v1_off/v0_off = timescale offset per version."""
+        if iend - ioff < 4:
+            return None
+        ver = data[ioff]
+        # v1 duration is u64 at v1_off+4 -> needs v1_off+12 bytes of body
+        if ver == 1 and iend - ioff >= v1_off + 12:
+            ts = int.from_bytes(data[ioff + v1_off : ioff + v1_off + 4], "big")
+            dur = int.from_bytes(data[ioff + v1_off + 4 : ioff + v1_off + 12], "big")
+        elif ver == 0 and iend - ioff >= v0_off + 8:
+            ts = int.from_bytes(data[ioff + v0_off : ioff + v0_off + 4], "big")
+            dur = int.from_bytes(data[ioff + v0_off + 4 : ioff + v0_off + 8], "big")
+        else:
+            return None
+        return (ts, dur) if ts > 0 else None
+
+    moov = child(0, len(data), b"moov")
+    if moov is None:
+        raise AudioDecodeError("MP4 missing moov")
+    mvhd_td = None
+    mvhd = child(moov[0], moov[1], b"mvhd")
+    if mvhd is not None:
+        mvhd_td = timescale_duration(mvhd[0], mvhd[1], 20, 12)
+
+    sr = nch = None
+    media_td = None
+    for ttyp, toff, tend in boxes(data, moov[0], moov[1]):
+        if ttyp != b"trak":
             continue
-        for ityp, ioff, iend in boxes(data, off, bend):
-            if ityp != b"mvhd" or iend - ioff < 4:
-                continue
-            ver = data[ioff]
-            if ver == 1 and iend - ioff >= 28:
-                timescale = int.from_bytes(data[ioff + 20 : ioff + 24], "big")
-                duration = int.from_bytes(data[ioff + 24 : ioff + 32], "big")
-            elif iend - ioff >= 20:
-                timescale = int.from_bytes(data[ioff + 12 : ioff + 16], "big")
-                duration = int.from_bytes(data[ioff + 16 : ioff + 20], "big")
-            else:
-                continue
-            if timescale <= 0:
-                raise AudioDecodeError("mvhd invalid timescale")
-            return {
-                "codec": "aac",
-                "sr_hz": timescale,
-                "dur_ms": int(duration * 1000 // timescale),
-                "n_channels": 2,
-            }
-    raise AudioDecodeError("MP4 missing moov/mvhd")
+        mdia = child(toff, tend, b"mdia")
+        if mdia is None:
+            continue
+        hdlr = child(mdia[0], mdia[1], b"hdlr")
+        # handler_type u32 at body offset 8 (after version/flags+pre_defined)
+        if hdlr is None or hdlr[1] - hdlr[0] < 12 or data[hdlr[0] + 8 : hdlr[0] + 12] != b"soun":
+            continue
+        mdhd = child(mdia[0], mdia[1], b"mdhd")
+        if mdhd is not None:
+            media_td = timescale_duration(mdhd[0], mdhd[1], 20, 12)
+        minf = child(mdia[0], mdia[1], b"minf")
+        stbl = child(minf[0], minf[1], b"stbl") if minf else None
+        stsd = child(stbl[0], stbl[1], b"stsd") if stbl else None
+        if stsd is not None:
+            # stsd body: version/flags u32, entry_count u32, then entries;
+            # AudioSampleEntry body: 6 reserved + 2 dref idx + 8 reserved,
+            # channelcount u16 @16, samplesize u16 @18, pre_defined+rsvd
+            # @20..24, samplerate 16.16 fixed u32 @24
+            for etyp, eoff, eend in boxes(data, stsd[0] + 8, stsd[1]):
+                if etyp in (b"mp4a", b"alac", b"ac-3", b"ec-3", b"Opus", b"fLaC") and eend - eoff >= 28:
+                    nch = int.from_bytes(data[eoff + 16 : eoff + 18], "big") or None
+                    sr = int.from_bytes(data[eoff + 24 : eoff + 28], "big") >> 16 or None
+                    break
+        break  # first audio trak wins
+
+    td = media_td or mvhd_td
+    if td is None:
+        raise AudioDecodeError("MP4 missing mvhd/mdhd timescale")
+    timescale, duration = td
+    # last-resort sr: the audio trak's media timescale IS the sample rate
+    # by convention; a trak-less legacy header falls through to mvhd
+    sr = sr or timescale
+    return {
+        "codec": "aac",
+        "sr_hz": sr,
+        "dur_ms": int(duration * 1000 // timescale),
+        "n_channels": nch if nch else 2,
+    }
 
 
 def probe_audio(data: bytes) -> dict:

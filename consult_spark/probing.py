@@ -26,12 +26,23 @@ def probe_clips(
     lib_features: DataFrame,
     lib_transcripts: DataFrame | None,
     cfg: Config,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """-> confirmed pairs (clip_a = query_id, clip_b = lib_id), verified
     through the full ladder (SimHash prefilter, exact Jaccard, suffix-array
     containment).  Library-side inputs are DataFrames so a long-lived caller
-    (the streaming probe) can cache them once across micro-batches."""
-    q_features = shingle_op.featurize(queries, cfg)
+    (the streaming probe) can cache them once across micro-batches.
+
+    The query-side featurize (python UDF decode + shingle) feeds FOUR
+    consumers — banding, the verify union, and verify's two per-channel
+    broadcast-gate row counts — so it is persisted here rather than
+    recomputed per consumer (a streaming micro-batch would otherwise pay
+    two extra featurize jobs just to size the broadcast hint).  Pass
+    ``cache_registry`` to receive the persisted frames for unpersist once
+    the returned plan has been fully materialized (the streaming probe
+    does this per epoch); one-shot callers may leave it None and let the
+    session's LRU reclaim."""
+    q_features = shingle_op.featurize(queries, cfg).persist()
     q_bands = bands_op.explode_bands(q_features)
     cands = pairs_op.probe_candidates(q_bands, lib_buckets, cfg)
 
@@ -43,7 +54,9 @@ def probe_clips(
     )
     all_features = q_features.unionByName(lib_features).dropDuplicates(
         ["clip_id", "kind"]
-    )
+    ).persist()
+    if cache_registry is not None:
+        cache_registry.extend([q_features, all_features])
     # transcripts for the suffix-array check come from whichever sides have
     # them; a pcm-only index (or pcm-only queries) skips the LCS channel
     # gracefully instead of failing on a missing table/column

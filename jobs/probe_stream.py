@@ -1,15 +1,17 @@
 """Continuous probe job — the streaming counterpart of jobs/search.py:
 classify newly-arriving clip files against a prebuilt index
-(jobs/build_index.py) until stopped, appending verified matches and
-per-batch unmatched ids under a checkpoint (exactly-once resume).
+(jobs/build_index.py), writing verified matches and per-batch unmatched
+ids under a checkpoint.  Writes are epoch-keyed partition overwrites, so
+a crash-replayed micro-batch converges to the same bytes (idempotent
+at-least-once = exactly-once effect; streaming/probe.py module docstring).
 
     spark-submit --py-files dist/consult_spark.zip jobs/probe_stream.py \
         --clips <streaming parquet dir> --warehouse <index dir> \
         --out <dir> --checkpoint <dir> [--once]
 
-``--once`` processes everything currently available and exits (the
-Trigger.AvailableNow semantics the library uses); without it the job waits
-for the stream to terminate externally.
+``--once`` processes everything currently available and exits
+(Trigger.AvailableNow); without it the job polls the source continuously
+(processing-time trigger) until terminated externally.
 """
 
 from __future__ import annotations
@@ -39,9 +41,8 @@ def main() -> None:
         args.out,
         args.checkpoint,
         max_files_per_trigger=args.max_files_per_trigger,
+        once=args.once,
     )
-    # the library always runs availableNow (drain-what-exists); --once is
-    # the explicit contract, kept as a flag for forward compatibility
     q.awaitTermination()
     import os
 

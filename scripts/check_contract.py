@@ -2,14 +2,22 @@
 entry on Spark and its oracle_sql() twin on DuckDB, compare row count,
 column names, and order-insensitive values.
 
-Usage: python scripts/check_contract.py [sf_dir] [--json-out=FILE] [--hostile] [query ...]
+Usage: python scripts/check_contract.py [sf_dir] [--json-out=FILE] [--hostile] [--hostile-ntz] [query ...]
 
 ``--hostile`` runs every query on a deliberately adversarial session —
-non-UTC timezone (America/New_York), ANSI mode on — instead of the repo's
-UTC-pinned defaults.  The driver provides its OWN session conf, so any
-query whose answer depends on session conf (the round-5 `session_counts`
-red row: an NTZ->LTZ cast interpreted in session TZ) passes the plain run
-and fails only at the gate.  This sweep closes that class for all entries.
+non-UTC timezone (America/New_York), ANSI mode on, AND parquet NTZ
+inference disabled (``spark.sql.parquet.inferTimestampNTZ.enabled=false``,
+the conf that made a bare events read type ``ts`` as TIMESTAMP_LTZ and
+shift every session row by the UTC offset at the round-6 gate — VERDICT r6
+'What's wrong #1') — instead of the repo's UTC-pinned defaults.  The
+driver provides its OWN session conf, so any query whose answer depends on
+session conf passes the plain run and fails only at the gate.  This sweep
+closes that class for all entries.
+
+``--hostile-ntz`` is the complementary read-type leg: TZ+ANSI plus
+``spark.sql.timestampType=TIMESTAMP_NTZ`` (ambient timestamp literals and
+inference flip to NTZ) with parquet NTZ inference left at its default.
+Results must be byte-identical to the oracle under ALL THREE sessions.
 """
 
 from __future__ import annotations
@@ -64,10 +72,12 @@ def main() -> int:
         return 2
 
     hostile = "--hostile" in sys.argv[1:]
+    hostile_ntz = "--hostile-ntz" in sys.argv[1:]
     args = [
         a
         for a in sys.argv[1:]
-        if not a.startswith("--json-out=") and a != "--hostile"
+        if not a.startswith("--json-out=")
+        and a not in ("--hostile", "--hostile-ntz")
     ]
     json_out = next(
         (a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--json-out=")),
@@ -79,16 +89,29 @@ def main() -> int:
     from consult_spark.session import get_spark
 
     extra = {"spark.ui.showConsoleProgress": "false"}
-    if hostile:
+    if hostile or hostile_ntz:
         # emulate a harness that supplies its own session conf: non-UTC TZ
         # flushes out NTZ<->LTZ casts; ANSI on flushes out silent-overflow /
-        # bad-cast reliance.  Results must be byte-identical to the oracle
-        # under BOTH sessions.
+        # bad-cast reliance; the read-type confs flush out queries that
+        # trust parquet timestamp inference instead of pinning the read
+        # schema.  Results must be byte-identical to the oracle under ALL
+        # sessions.
         extra["spark.sql.session.timeZone"] = "America/New_York"
         extra["spark.sql.ansi.enabled"] = "true"
-        print("== HOSTILE SESSION: TZ=America/New_York, ANSI=on ==")
+        if hostile_ntz:
+            extra["spark.sql.timestampType"] = "TIMESTAMP_NTZ"
+            print(
+                "== HOSTILE SESSION: TZ=America/New_York, ANSI=on, "
+                "timestampType=TIMESTAMP_NTZ =="
+            )
+        else:
+            extra["spark.sql.parquet.inferTimestampNTZ.enabled"] = "false"
+            print(
+                "== HOSTILE SESSION: TZ=America/New_York, ANSI=on, "
+                "inferTimestampNTZ=off =="
+            )
     spark = get_spark(
-        "contract_check_hostile" if hostile else "contract_check",
+        "contract_check_hostile" if (hostile or hostile_ntz) else "contract_check",
         master="local[8]",
         shuffle_partitions=8,
         extra_conf=extra,

@@ -174,17 +174,85 @@ def test_probe_ogg_foreign_stream_raises():
 # ---------------------------------------------------------------------- MP4
 
 
+def _box(name: bytes, body: bytes) -> bytes:
+    return (8 + len(body)).to_bytes(4, "big") + name + body
+
+
+def _mvhd(timescale: int, duration: int, version: int = 0) -> bytes:
+    if version == 1:
+        body = bytes([1]) + bytes(3) + bytes(16) + timescale.to_bytes(4, "big") + duration.to_bytes(8, "big") + bytes(80)
+    else:
+        body = bytes([0]) + bytes(3) + bytes(8) + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big") + bytes(80)
+    return _box(b"mvhd", body)
+
+
+def _audio_trak(sr: int, duration: int, nch: int, entry: bytes = b"mp4a") -> bytes:
+    """trak/mdia/(hdlr soun + mdhd + minf/stbl/stsd/mp4a) — the layout real
+    muxers (ffmpeg/iTunes) emit; mdhd timescale = sample rate, stsd carries
+    channelcount + 16.16 samplerate."""
+    mdhd = _box(b"mdhd", bytes([0]) + bytes(3) + bytes(8) + sr.to_bytes(4, "big") + duration.to_bytes(4, "big") + bytes(4))
+    hdlr = _box(b"hdlr", bytes(8) + b"soun" + bytes(12))
+    sample_entry = _box(entry, bytes(16) + nch.to_bytes(2, "big") + (16).to_bytes(2, "big") + bytes(4) + ((sr << 16).to_bytes(4, "big")))
+    stsd = _box(b"stsd", bytes(4) + (1).to_bytes(4, "big") + sample_entry)
+    stbl = _box(b"stbl", stsd)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    return _box(b"trak", mdia)
+
+
 def _m4a(timescale: int, duration: int) -> bytes:
-    mvhd_body = bytes([0]) + bytes(3) + bytes(8) + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big") + bytes(80)
-    mvhd = (8 + len(mvhd_body)).to_bytes(4, "big") + b"mvhd" + mvhd_body
-    moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+    """Legacy header: moov with ONLY an mvhd (no trak)."""
+    moov = _box(b"moov", _mvhd(timescale, duration))
     ftyp = (16).to_bytes(4, "big") + b"ftypM4A " + bytes(4)
     return ftyp + moov
 
 
-def test_probe_mp4_mvhd():
+def _m4a_real(movie_ts: int, sr: int, dur_s: int, nch: int) -> bytes:
+    """ffmpeg-style: mvhd timescale is a tick rate (600/1000), the audio
+    trak carries the true sample rate and channel count."""
+    moov = _box(b"moov", _mvhd(movie_ts, movie_ts * dur_s) + _audio_trak(sr, sr * dur_s, nch))
+    ftyp = (16).to_bytes(4, "big") + b"ftypM4A " + bytes(4)
+    return ftyp + moov
+
+
+def test_probe_mp4_mvhd_legacy_fallback():
     meta = P.probe_mp4(_m4a(44100, 44100 * 7))
     assert meta["codec"] == "aac" and meta["sr_hz"] == 44100
+    assert meta["dur_ms"] == 7000
+
+
+def test_probe_mp4_real_muxer_layout():
+    # the ADVICE r6 case: mvhd timescale=1000 (iTunes/ffmpeg tick rate) —
+    # sr must come from the audio trak, NOT the movie header
+    meta = P.probe_mp4(_m4a_real(1000, 44100, 7, 1))
+    assert meta["sr_hz"] == 44100
+    assert meta["n_channels"] == 1
+    assert meta["dur_ms"] == 7000
+    # and with the classic 600 tick rate + stereo 48 kHz
+    meta = P.probe_mp4(_m4a_real(600, 48000, 3, 2))
+    assert meta["sr_hz"] == 48000 and meta["n_channels"] == 2 and meta["dur_ms"] == 3000
+
+
+def test_probe_mp4_video_trak_ignored():
+    # a movie with a video trak first must still pick the SOUND trak
+    vmdhd = _box(b"mdhd", bytes([0]) + bytes(3) + bytes(8) + (90000).to_bytes(4, "big") + (90000 * 7).to_bytes(4, "big") + bytes(4))
+    vhdlr = _box(b"hdlr", bytes(8) + b"vide" + bytes(12))
+    vtrak = _box(b"trak", _box(b"mdia", vmdhd + vhdlr))
+    moov = _box(b"moov", _mvhd(1000, 7000) + vtrak + _audio_trak(22050, 22050 * 7, 2))
+    meta = P.probe_mp4((16).to_bytes(4, "big") + b"ftypM4A " + bytes(4) + moov)
+    assert meta["sr_hz"] == 22050 and meta["n_channels"] == 2 and meta["dur_ms"] == 7000
+
+
+def test_probe_mp4_v1_mvhd_short_body_rejected():
+    # version-1 mvhd whose body is 28..31 bytes: duration would read past
+    # the box into the next box's bytes — must NOT parse (ADVICE r6 low)
+    short = bytes([1]) + bytes(3) + bytes(16) + (1000).to_bytes(4, "big") + bytes(4)  # 28-byte body
+    moov = _box(b"moov", _box(b"mvhd", short))
+    with pytest.raises(AudioDecodeError):
+        P.probe_mp4((16).to_bytes(4, "big") + b"ftypM4A " + bytes(4) + moov)
+    # a full 32+-byte v1 body parses fine
+    ftyp = (16).to_bytes(4, "big") + b"ftypM4A " + bytes(4)
+    meta = P.probe_mp4(ftyp + _box(b"moov", _mvhd(1000, 7000, version=1)))
     assert meta["dur_ms"] == 7000
 
 
