@@ -779,11 +779,135 @@ def run_skew(repeats: int = 2, cores: int = 16) -> None:
         print(json.dumps({"cache_pruned": pruned}))
 
 
+def run_recall(cores: int = 32, n_clips: int | None = None) -> None:
+    """Planted-truth dup-pair recall at bench scale — the north rule's
+    headline acceptance (dup-pair recall >= 0.99) measured on a corpus
+    ~500x the pytest tier, not just at test size.
+
+    A planted pair (a, b) counts as recovered when the pipeline puts a and
+    b in the same cluster (transitive closure — the same acceptance as
+    tests/test_e2e.py::test_truth_pair_recall and the reference's cluster-
+    assignment semantics).  The measurement is parallelism-independent:
+    confirmed pairs are byte-identical across widths (BENCH/BASELINE.md),
+    so one run per tier suffices and the width is chosen for wall time,
+    not validity.  Results -> BENCH/RECALL.md with a per-kind breakdown
+    (dup = perturbed variants, hot = the near-identical skew clique).
+    """
+    from pyspark.sql import functions as F
+
+    from consult_spark.config import Config
+    from consult_spark.datagen import corpus_layout, truth_tables
+    from consult_spark.operators import bands as bands_op
+    from consult_spark.operators import cluster as cluster_op
+    from consult_spark.operators import pairs as pairs_op
+    from consult_spark.operators import shingle as shingle_op
+    from consult_spark.operators import verify as verify_op
+    from consult_spark.session import get_spark
+
+    n = n_clips or SCALING_CLIPS
+    os.environ["SPARK_GRAFT_BENCH_CLIPS"] = str(n)
+    os.environ.setdefault(
+        "CONSULT_SPARK_DRIVER_MEM", "48g" if n > 500_000 else "16g"
+    )
+    spark = get_spark(f"bench_recall_{n}", master=f"local[{cores}]",
+                      shuffle_partitions=cores)
+    sf = _sf_of(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    clips_path, _ = bench_clips_path(spark, sf)
+    warm_python_workers(spark)
+    cfg = Config()
+    clips = spark.read.parquet(clips_path)
+    t0 = time.time()
+    features = shingle_op.featurize_from_parquet(spark, clips_path, cfg).persist()
+    buckets = bands_op.capped_buckets(bands_op.explode_bands(features), cfg)
+    candidates = pairs_op.candidate_pairs(buckets, cfg).persist()
+    confirmed = verify_op.confirm_pairs(candidates, features, clips, cfg).persist()
+    clusters = cluster_op.assign_clusters(clips, confirmed, cfg).persist()
+    n_clusters_rows = clusters.count()
+    wall = time.time() - t0
+
+    # ground truth regenerates deterministically from (n, seed) — the same
+    # layout the corpus fixture was synthesized from
+    truth = truth_tables(corpus_layout(n, seed=42))["truth_pairs"]
+    truth_sdf = spark.createDataFrame(truth)  # (clip_a, clip_b, kind), a < b
+    ca = clusters.select(F.col("clip_id").alias("clip_a"),
+                         F.col("cluster_id").alias("cluster_a"))
+    cb = clusters.select(F.col("clip_id").alias("clip_b"),
+                         F.col("cluster_id").alias("cluster_b"))
+    scored = (
+        truth_sdf.join(ca, "clip_a").join(cb, "clip_b")
+        .withColumn("hit", (F.col("cluster_a") == F.col("cluster_b")).cast("int"))
+    )
+    by_kind = {
+        r["kind"]: (int(r["n"]), int(r["hits"]))
+        for r in scored.groupBy("kind")
+        .agg(F.count("*").alias("n"), F.sum("hit").alias("hits"))
+        .collect()
+    }
+    n_truth = sum(v[0] for v in by_kind.values())
+    n_hit = sum(v[1] for v in by_kind.values())
+    recall = n_hit / max(1, n_truth)
+    # context: how many planted pairs were confirmed DIRECTLY (no transitive
+    # bridge needed), and how many confirmed pairs are unplanted (clips CAN
+    # legitimately collide — this is context, not a precision criterion)
+    direct = truth_sdf.join(confirmed, ["clip_a", "clip_b"], "left_semi").count()
+    n_confirmed = confirmed.count()
+    unplanted = confirmed.join(truth_sdf, ["clip_a", "clip_b"], "left_anti").count()
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "RECALL.md"), "w") as f:
+        f.write(
+            "# Planted-truth dup-pair recall at bench scale\n\n"
+            f"Corpus: {n} deterministic clips (seed 42, the scaling-campaign\n"
+            f"fixture); full pipeline (decode -> shingle -> MinHash -> capped\n"
+            f"buckets -> pairs -> verify -> CC) at local[{cores}],\n"
+            f"wall {wall:.1f} s.  A planted pair counts as recovered when both\n"
+            "clips land in the same output cluster (transitive closure), the\n"
+            "acceptance tests/test_e2e.py pins at the pytest tier.\n\n"
+            "| kind | planted pairs | recovered | recall |\n"
+            "|---|---|---|---|\n"
+        )
+        for kind in sorted(by_kind):
+            kn, kh = by_kind[kind]
+            f.write(f"| {kind} | {kn} | {kh} | {kh / max(1, kn):.6f} |\n")
+        f.write(
+            f"| **all** | **{n_truth}** | **{n_hit}** | **{recall:.6f}** |\n\n"
+            f"**dup-pair recall = {recall:.6f}** (criterion >= 0.99).\n\n"
+            f"Context: {direct}/{n_truth} planted pairs were confirmed directly\n"
+            "(the rest arrive through a transitive bridge inside their planted\n"
+            f"group); the pipeline confirmed {n_confirmed} pairs total, of which\n"
+            f"{unplanted} are unplanted (near-dups can arise by construction —\n"
+            "perturbed variants of the same base can confirm across variant\n"
+            "indices; clusters count {0} rows = every clip labeled).\n".format(
+                n_clusters_rows
+            )
+        )
+    print(json.dumps({
+        "recall": round(recall, 6),
+        "n_truth_pairs": n_truth,
+        "n_recovered": n_hit,
+        "n_confirmed": n_confirmed,
+        "direct_confirmed_truth": direct,
+        "unplanted_confirmed": unplanted,
+        "by_kind": {k: {"n": v[0], "hits": v[1]} for k, v in by_kind.items()},
+        "wall_sec": round(wall, 1),
+        "n_clips": n,
+    }))
+    for df in (features, candidates, confirmed, clusters):
+        df.unpersist()
+    spark.stop()
+    if not os.environ.get("SPARK_GRAFT_KEEP_CACHE"):
+        pruned = prune_fixture_cache()
+        print(json.dumps({"cache_pruned": pruned}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
     ap.add_argument("--skew", action="store_true",
                     help="uniform-vs-hot-key corpus comparison -> BENCH/SKEW.md")
+    ap.add_argument("--recall", action="store_true",
+                    help="planted-truth dup-pair recall at bench scale "
+                    "-> BENCH/RECALL.md (north-rule recall >= 0.99 evidence)")
     ap.add_argument("--single-audio", action="store_true")
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--n-clips", type=int, default=None)
@@ -812,6 +936,9 @@ def main() -> None:
         return
     if args.skew:
         run_skew()
+        return
+    if args.recall:
+        run_recall(args.cores if "--cores" in sys.argv else 32, args.n_clips)
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     print(json.dumps(run_default(sf_dir)))

@@ -42,11 +42,28 @@ def read_wav_directory(
     return read_audio_directory(spark, path, glob="*.wav", transcripts=transcripts)
 
 
+def _sidecar_transcripts(spark: SparkSession, path: str) -> DataFrame:
+    """`<stem>.txt` next to `<stem>.<audio-ext>` -> (clip_id, transcript).
+    binaryFile keeps the listing + read split-parallel on the JVM side; the
+    utf-8 decode is a codegen'd expression, no python."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(path)
+        .select(
+            F.regexp_replace(
+                F.element_at(F.split(F.col("path"), "/"), -1), r"\.txt$", ""
+            ).alias("clip_id"),
+            F.decode(F.col("content"), "utf-8").alias("transcript"),
+        )
+    )
+
+
 def read_audio_directory(
     spark: SparkSession,
     path: str,
     glob: str = "*",
-    transcripts: DataFrame | None = None,
+    transcripts: DataFrame | str | None = None,
 ) -> DataFrame:
     """Mixed-container ingest: WAV / FLAC / mp3 / Ogg (vorbis, opus) / M4A
     under ``path`` -> clips DataFrame (contract schema).
@@ -57,6 +74,12 @@ def read_audio_directory(
     codec column routes each clip to the right decoder (or to the registry
     stub) downstream; unparseable files land with codec='unknown' and keep
     flowing (per-clip soft fail, same contract as featurize/decode_ok).
+
+    ``transcripts`` is either a (clip_id, transcript) DataFrame or the
+    string ``"sidecar"``: each ``<stem>.txt`` next to ``<stem>.<ext>``
+    supplies that clip's transcript (CONSULT pairs reads with their
+    metadata files the same way); sidecar .txt files are excluded from the
+    clip scan so they never land as codec='unknown' rows.
     """
     raw = (
         spark.read.format("binaryFile")
@@ -64,6 +87,11 @@ def read_audio_directory(
         .load(path)
         .select("path", "content")
     )
+    if isinstance(transcripts, str):
+        if transcripts != "sidecar":
+            raise ValueError(f"transcripts must be a DataFrame or 'sidecar', got {transcripts!r}")
+        transcripts = _sidecar_transcripts(spark, path)
+        raw = raw.filter(~F.col("path").endswith(".txt"))
 
     def sniff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -10,8 +10,12 @@ exactly CONSULT's query-vs-library probe (main_search.cpp:810-846), with the
 new rows as the query side.
 
 foreachBatch (not a direct streaming sink) because the pipeline needs
-multi-table writes per micro-batch; checkpointLocation gives exactly-once
-per-batch resume.
+multi-table writes per micro-batch.  foreachBatch alone is at-least-once
+(the batch function runs before the checkpoint commit); each epoch is
+written as an idempotent ``batch_id=<epoch>`` partition overwrite
+(streaming/epochs.py) so a crash-replayed micro-batch converges to the
+same bytes instead of double-appending.  compact_buckets' (clip_id, kind)
+dedup remains as defense in depth.
 """
 
 from __future__ import annotations
@@ -22,6 +26,7 @@ from ..config import Config
 from ..datagen import CLIPS_SCHEMA
 from ..operators import bands as bands_op
 from ..operators import shingle as shingle_op
+from .epochs import epoch_write
 
 
 def stream_featurize(
@@ -53,13 +58,13 @@ def stream_featurize(
     def per_batch(batch_df, epoch_id: int) -> None:
         features = shingle_op.featurize(batch_df, cfg)
         features.persist()
-        features.write.mode("append").parquet(f"{out_dir}/features_stream")
+        epoch_write(features, f"{out_dir}/features_stream", epoch_id)
         # per-batch bucket rows: the cap holds only WITHIN the batch; the
         # compaction cadence (or a manual compact_buckets) re-applies the
         # global cap — probe against the compacted `lsh_buckets`, not
         # buckets_stream, or the cap^2 pair-expansion bound does not hold
         buckets = bands_op.capped_buckets(bands_op.explode_bands(features), cfg)
-        buckets.write.mode("append").parquet(f"{out_dir}/buckets_stream")
+        epoch_write(buckets, f"{out_dir}/buckets_stream", epoch_id)
         features.unpersist()
         if compact_every > 0 and (epoch_id + 1) % compact_every == 0:
             compact_buckets(batch_df.sparkSession, out_dir, cfg)
@@ -84,12 +89,13 @@ def compact_buckets(spark: SparkSession, out_dir: str, cfg: Config | None = None
     deterministic because the cap keeps the cap-smallest clip_ids, not
     first-arrival (test_streaming pins the equality).
 
-    foreachBatch is at-least-once: a retried micro-batch appends its feature
-    rows AGAIN, and a duplicated clip would occupy multiple cap slots in its
-    buckets (evicting genuine members) and emit duplicate bucket rows —
-    dropDuplicates on the (clip_id, kind) key collapses replays before the
-    cap is applied (replayed rows are byte-identical, so which one survives
-    is immaterial).
+    The epoch-keyed writes make a replayed micro-batch overwrite its own
+    partition, so duplicates should not exist — but a duplicated clip would
+    occupy multiple cap slots in its buckets (evicting genuine members) and
+    emit duplicate bucket rows, so dropDuplicates on the (clip_id, kind)
+    key stays as defense in depth (replayed rows are byte-identical, so
+    which one survives is immaterial; also collapses a clip re-ingested
+    under two epochs by an upstream producer).
 
     Returns the compacted buckets DataFrame.
     """

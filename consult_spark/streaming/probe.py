@@ -9,6 +9,9 @@ foreachBatch writes the verified hits and the per-batch unmatched ids:
 
   <out>/matched_clips    confirmed pairs (clip_a = query id, clip_b = lib)
   <out>/unmatched_clips  (clip_id, batch_id) — the streaming ucseq_ analog
+  <out>/probe_metrics    one row per epoch (n_queries, n_matched_pairs,
+                         n_matched_clips, n_unmatched, wall_sec) — the
+                         per-file metrics analog (main_search.cpp:1021-1041)
 
 The library tables are read and cached ONCE at stream start (the
 distributed stand-in for CONSULT's load-index-then-loop design,
@@ -35,6 +38,7 @@ stream would leave ``unmatched_clips`` schema-less).
 from __future__ import annotations
 
 import os
+import time
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
@@ -44,30 +48,30 @@ from ..datagen import CLIPS_SCHEMA
 from ..io import Warehouse
 from ..operators.verify import CONFIRMED_SCHEMA
 from ..probing import probe_clips
+from .epochs import epoch_write as _epoch_write
+from .epochs import init_epoch_sink
 
 UNMATCHED_SCHEMA = "clip_id string"
-
-
-def _epoch_write(df, table_dir: str, epoch_id: int) -> None:
-    """Overwrite exactly this epoch's partition directory — other epochs'
-    directories are never touched, and rewriting the same epoch converges.
-    An empty epoch still writes a schema-bearing empty part file."""
-    df.write.mode("overwrite").parquet(
-        os.path.join(table_dir, f"batch_id={epoch_id}")
-    )
+# per-epoch metrics: the streaming analog of CONSULT's per-file
+# (file, lines, matched) report (main_search.cpp:1021-1041) / the batch
+# job's MetricsSink rows — one row per processed epoch, epoch-keyed like
+# the data sinks so a replayed epoch overwrites its own row
+METRICS_SCHEMA = (
+    "n_queries bigint, n_matched_pairs bigint, "
+    "n_matched_clips bigint, n_unmatched bigint, wall_sec double"
+)
 
 
 def init_probe_sinks(spark: SparkSession, out_dir: str) -> None:
-    """Make both output roots readable from epoch zero: an empty sentinel
+    """Make every output root readable from epoch zero: an empty sentinel
     partition (batch_id=-1, never a real foreachBatch epoch) carries the
     schema.  Idempotent — existing sinks are left as-is."""
     for table, schema in (
         ("matched_clips", CONFIRMED_SCHEMA),
         ("unmatched_clips", UNMATCHED_SCHEMA),
+        ("probe_metrics", METRICS_SCHEMA),
     ):
-        sentinel = os.path.join(out_dir, table, "batch_id=-1")
-        if not os.path.isdir(sentinel):
-            _epoch_write(spark.createDataFrame([], schema), os.path.join(out_dir, table), -1)
+        init_epoch_sink(spark, os.path.join(out_dir, table), schema)
 
 
 def make_probe_batch_writer(
@@ -85,6 +89,7 @@ def make_probe_batch_writer(
     def per_batch(batch_df, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        t0 = time.time()
         batch_df = batch_df.persist()
         caches = []
         confirmed = probe_clips(
@@ -96,12 +101,19 @@ def make_probe_batch_writer(
             # a query clip only probes in its own batch, so this batch's
             # unmatched = batch ids minus this batch's hits — O(batch),
             # never a scan of the accumulated output
-            matched = confirmed.select(F.col("clip_a").alias("clip_id")).distinct()
-            _epoch_write(
-                batch_df.select("clip_id").join(matched, "clip_id", "left_anti"),
-                os.path.join(out_dir, "unmatched_clips"),
-                epoch_id,
+            matched = confirmed.select(F.col("clip_a").alias("clip_id")).distinct().persist()
+            unmatched = batch_df.select("clip_id").join(matched, "clip_id", "left_anti")
+            _epoch_write(unmatched, os.path.join(out_dir, "unmatched_clips"), epoch_id)
+            # per-epoch metrics row (counts read the frames just cached/
+            # written — no recompute of the probe itself)
+            n_q = batch_df.count()
+            n_mc = matched.count()
+            metrics = spark.createDataFrame(
+                [(n_q, confirmed.count(), n_mc, n_q - n_mc, round(time.time() - t0, 3))],
+                METRICS_SCHEMA,
             )
+            _epoch_write(metrics, os.path.join(out_dir, "probe_metrics"), epoch_id)
+            matched.unpersist()
         finally:
             confirmed.unpersist()
             batch_df.unpersist()

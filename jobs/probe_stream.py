@@ -52,7 +52,18 @@ def main() -> None:
         if os.path.isdir(matched_dir)
         else 0
     )
-    print({"n_matched_rows": n})
+    summary = {"n_matched_rows": n}
+    metrics_dir = os.path.join(args.out, "probe_metrics")
+    if os.path.isdir(metrics_dir):
+        m = spark.read.parquet(metrics_dir)
+        agg = m.groupBy().sum("n_queries", "n_matched_clips", "n_unmatched").head()
+        summary.update(
+            n_epochs=m.count(),
+            n_queries=agg[0] or 0,
+            n_matched_clips=agg[1] or 0,
+            n_unmatched=agg[2] or 0,
+        )
+    print(summary)
     spark.stop()
 
 

@@ -748,3 +748,29 @@ def test_png_adam7_subbyte_depths():
             pal = rng.integers(0, 256, size=(1 << bit_depth, 3), dtype=np.uint8)
             got = MM.decode_image(encode(vals, bit_depth, 3, pal), "png")
             assert np.array_equal(got, pal[vals]), f"pal d={bit_depth} {h}x{w}"
+
+
+def test_audio_directory_sidecar_transcripts(spark, corpus_xs, tmp_path):
+    """transcripts='sidecar': <stem>.txt supplies the transcript, the .txt
+    files never land as codec='unknown' clip rows, and clips without a
+    sidecar get an empty transcript (the docstring contract, clips.py)."""
+    from consult_spark.sources.clips import read_audio_directory
+
+    d = tmp_path / "sidecars"
+    d.mkdir()
+    sample = corpus_xs["clips"].head(6)
+    with_txt = set(sample["clip_id"].iloc[:4])
+    for _, row in sample.iterrows():
+        (d / f"{row['clip_id']}.wav").write_bytes(row["bytes"])
+        if row["clip_id"] in with_txt:
+            (d / f"{row['clip_id']}.txt").write_text(row["transcript"])
+    got = {r["clip_id"]: r for r in read_audio_directory(spark, str(d), transcripts="sidecar").collect()}
+    # no .txt file became a clip row
+    assert set(got) == set(sample["clip_id"])
+    for _, row in sample.iterrows():
+        expected = row["transcript"] if row["clip_id"] in with_txt else ""
+        assert got[row["clip_id"]]["transcript"] == expected
+        assert got[row["clip_id"]]["codec"] == "pcm_s16le"
+
+    with pytest.raises(ValueError):
+        read_audio_directory(spark, str(d), transcripts="nonsense")

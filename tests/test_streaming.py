@@ -92,3 +92,38 @@ def test_compaction_dedupes_replayed_batch(spark, corpus_xs, cfg, tmp_path):
     assert sorted(tuple(r) for r in compacted.collect()) == sorted(
         tuple(r) for r in expected.collect()
     )
+
+
+def test_stream_featurize_replayed_epoch_is_idempotent(spark, corpus_xs, cfg, tmp_path):
+    """Epoch-keyed writes: delivering the same (batch_df, epoch_id) twice —
+    what a crash between the write and the checkpoint commit causes — must
+    leave features_stream/buckets_stream byte-identical, not doubled."""
+    import os
+
+    from consult_spark.streaming.ingest import stream_featurize
+
+    clips_dir = str(tmp_path / "clips_in")
+    out_dir = str(tmp_path / "out")
+    pdf = corpus_xs["clips"].head(40)
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(clips_dir)
+
+    # run the stream once to materialize epoch 0...
+    q = stream_featurize(spark, clips_dir, out_dir, str(tmp_path / "ckpt"), cfg)
+    q.awaitTermination(120)
+
+    def snap(table):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(os.path.join(out_dir, table)).collect()
+        )
+
+    feats_once = snap("features_stream")
+    buckets_once = snap("buckets_stream")
+    assert len(feats_once) > 0
+
+    # ...then replay epoch 0 directly through a fresh stream over a FRESH
+    # checkpoint (same source files => same batch content, same epoch id)
+    q2 = stream_featurize(spark, clips_dir, out_dir, str(tmp_path / "ckpt2"), cfg)
+    q2.awaitTermination(120)
+    assert snap("features_stream") == feats_once
+    assert snap("buckets_stream") == buckets_once

@@ -144,6 +144,13 @@ def test_stream_probe_replayed_epoch_is_idempotent(spark, probe_setup, cfg, tmp_
     assert "batch_id" in mdf.columns
     assert {r["batch_id"] for r in mdf.select("batch_id").distinct().collect()} == {0, 1}
 
+    # per-epoch metrics: one row per epoch, counts consistent with the data
+    mrows = {r["batch_id"]: r for r in spark.read.parquet(os.path.join(out_dir, "probe_metrics")).collect()}
+    assert set(mrows) == {0, 1}
+    assert mrows[0]["n_queries"] == half and mrows[1]["n_queries"] == len(qry) - half
+    assert sum(r["n_matched_pairs"] for r in mrows.values()) == len(matched_once)
+    assert sum(r["n_unmatched"] for r in mrows.values()) == len(unmatched_once)
+
     # replay epoch 1 (the crash-recovery signature), then epoch 0 for good
     # measure — output must be byte-identical both times
     per_batch(b1, 1)
@@ -152,6 +159,9 @@ def test_stream_probe_replayed_epoch_is_idempotent(spark, probe_setup, cfg, tmp_
     per_batch(b0, 0)
     assert snapshot("matched_clips") == matched_once
     assert snapshot("unmatched_clips") == unmatched_once
+    # metrics stay one-row-per-epoch across replays (wall_sec may differ)
+    mdf = spark.read.parquet(os.path.join(out_dir, "probe_metrics"))
+    assert mdf.count() == 2 and mdf.select("batch_id").distinct().count() == 2
 
     for df in (lib_buckets, lib_features, *( [lib_tr] if lib_tr is not None else [] )):
         df.unpersist()
