@@ -177,6 +177,80 @@ def assign_clusters(clips: DataFrame, confirmed: DataFrame, cfg: Config) -> Data
     return comp.unionByName(singles)
 
 
+def merge_clusters(
+    assignments: DataFrame,
+    new_pairs: DataFrame,
+    cfg: Config,
+    new_clips: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental cluster maintenance: fold newly confirmed pairs into an
+    existing assignment at O(increment) cost instead of re-running CC over
+    the full corpus.
+
+    ``assignments`` is a prior (clip_id, cluster_id) table holding the
+    assign_clusters invariant (cluster_id = smallest clip_id in the
+    component).  ``new_pairs`` (clip_a, clip_b) are the newly confirmed
+    edges — e.g. a streaming probe's matched_clips, or a delta batch's
+    confirmed pairs; endpoints may be existing clips, or new ones.
+    ``new_clips`` optionally supplies the delta's clip ids so clips that
+    matched nothing still appear (as singletons).
+
+    Equivalence: the output equals assign_clusters over (all clips, all
+    pairs) PROVIDED ``new_pairs`` contains every confirmed pair that
+    touches a new clip (old-old pairs are already folded into
+    ``assignments``).  Proof shape: contracting each existing cluster to
+    its label preserves connectivity, and min-label over the contracted
+    graph = min clip_id over the merged component because each label IS
+    its cluster's min member (tests/test_cluster.py pins recompute
+    equality).
+
+    Scale shape: the existing assignment is only ever scanned — both joins
+    put the small side (the delta's pairs / the contracted component
+    relabel map) opposite it, so Catalyst broadcasts the delta and the
+    10^12-row table never shuffles.  The contracted CC input is <=
+    |new_pairs| edges, which routes to the driver path for any sane
+    increment (cc_driver_max_edges) and to the distributed loop past it.
+    """
+    # labels for every id the delta can mention: existing assignment, plus
+    # self-labels for genuinely-new ids (pair endpoints and new_clips rows
+    # not present in the assignment)
+    delta_ids = new_pairs.select(F.col("clip_a").alias("clip_id")).union(
+        new_pairs.select(F.col("clip_b").alias("clip_id"))
+    )
+    if new_clips is not None:
+        delta_ids = delta_ids.union(new_clips.select("clip_id"))
+    fresh = (
+        delta_ids.distinct()
+        .join(assignments, "clip_id", "left_anti")
+        .withColumn("cluster_id", F.col("clip_id"))
+    )
+    labels = assignments.unionByName(fresh)
+
+    # contract: each new edge becomes an edge between its endpoints' CURRENT
+    # labels; intra-cluster edges vanish.  new_pairs is the small side of
+    # both joins (labels restricted to delta endpoints via the join itself).
+    la = labels.select(F.col("clip_id").alias("clip_a"), F.col("cluster_id").alias("la"))
+    lb = labels.select(F.col("clip_id").alias("clip_b"), F.col("cluster_id").alias("lb"))
+    contracted = (
+        new_pairs.select("clip_a", "clip_b")
+        .join(la, "clip_a")
+        .join(lb, "clip_b")
+        .filter(F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("clip_a"), F.col("lb").alias("clip_b"))
+        .distinct()
+    )
+    comp = connected_components(contracted, cfg).select(
+        F.col("clip_id").alias("cluster_id"),
+        F.col("cluster_id").alias("merged_id"),
+    )
+    # relabel: only rows whose old cluster merged change; comp is tiny
+    # (<= 2|new_pairs| rows) so this is a broadcast join against the scan
+    return labels.join(comp, "cluster_id", "left").select(
+        "clip_id",
+        F.coalesce("merged_id", F.col("cluster_id")).alias("cluster_id"),
+    )
+
+
 def unique_clips(clips: DataFrame, confirmed: DataFrame) -> DataFrame:
     """The anti-join output — clips with no confirmed dup partner (the
     ucseq_ unclassified-reads analog, main_search.cpp:1021-1041, README.md:82)."""

@@ -12,6 +12,8 @@ foreachBatch writes the verified hits and the per-batch unmatched ids:
   <out>/probe_metrics    one row per epoch (n_queries, n_matched_pairs,
                          n_matched_clips, n_unmatched, wall_sec) — the
                          per-file metrics analog (main_search.cpp:1021-1041)
+  <out>/clusters         optional (update_probe_clusters after a drain):
+                         maintained (clip_id, cluster_id) via incremental CC
 
 The library tables are read and cached ONCE at stream start (the
 distributed stand-in for CONSULT's load-index-then-loop design,
@@ -173,3 +175,45 @@ def stream_probe(
     else:
         writer = writer.trigger(processingTime=processing_interval)
     return writer.start()
+
+
+CLUSTERS_SCHEMA = "clip_id string, cluster_id string"
+
+
+def update_probe_clusters(spark: SparkSession, out_dir: str,
+                          cfg: Config | None = None):
+    """Fold the drained epochs' verified matches into a maintained
+    ``<out>/clusters`` table — incremental connected components
+    (operators/cluster.merge_clusters) at O(matches) per call instead of a
+    full-corpus CC rebuild.
+
+    Idempotent across re-runs over the same sinks: already-folded pairs
+    contract away inside their cluster, so calling after every drain (or
+    replaying a drain) converges to the same assignment.  Library clips
+    enter the table the first time a match cites them; unmatched queries
+    enter as singletons.  Returns the updated DataFrame (also written)."""
+    import shutil
+
+    from ..operators.cluster import merge_clusters
+
+    cfg = cfg or Config()
+    clusters_dir = os.path.join(out_dir, "clusters")
+    matched = spark.read.parquet(os.path.join(out_dir, "matched_clips"))
+    new_pairs = matched.select("clip_a", "clip_b")
+    new_clips = (
+        spark.read.parquet(os.path.join(out_dir, "unmatched_clips"))
+        .select("clip_id")
+    )
+    existing = (
+        spark.read.parquet(clusters_dir)
+        if os.path.isdir(clusters_dir)
+        else spark.createDataFrame([], CLUSTERS_SCHEMA)
+    )
+    merged = merge_clusters(existing, new_pairs, cfg, new_clips=new_clips)
+    # self-overwrite guard: the merged plan still reads clusters_dir, so
+    # land the result next to it and swap directories
+    tmp = clusters_dir + "_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(clusters_dir, ignore_errors=True)
+    os.replace(tmp, clusters_dir)
+    return spark.read.parquet(clusters_dir)

@@ -11,7 +11,9 @@ at-least-once = exactly-once effect; streaming/probe.py module docstring).
 
 ``--once`` processes everything currently available and exits
 (Trigger.AvailableNow); without it the job polls the source continuously
-(processing-time trigger) until terminated externally.
+(processing-time trigger) until terminated externally.  ``--update-clusters``
+folds the drain's verified matches into a maintained <out>/clusters table
+via incremental connected components (O(matches) per drain, idempotent).
 """
 
 from __future__ import annotations
@@ -26,6 +28,10 @@ def main() -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--checkpoint", required=True)
     ap.add_argument("--once", action="store_true")
+    ap.add_argument("--update-clusters", action="store_true",
+                    help="after the drain, fold verified matches into a "
+                    "maintained <out>/clusters table (incremental CC; "
+                    "idempotent across re-runs)")
     ap.add_argument("--master", default=None)
     ap.add_argument("--max-files-per-trigger", type=int, default=4)
     args = ap.parse_args()
@@ -63,6 +69,12 @@ def main() -> None:
             n_matched_clips=agg[1] or 0,
             n_unmatched=agg[2] or 0,
         )
+    if args.update_clusters:
+        from consult_spark.streaming.probe import update_probe_clusters
+
+        clusters = update_probe_clusters(spark, args.out)
+        summary["n_clustered_clips"] = clusters.count()
+        summary["n_clusters"] = clusters.select("cluster_id").distinct().count()
     print(summary)
     spark.stop()
 

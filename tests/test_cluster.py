@@ -81,3 +81,63 @@ def test_driver_cc_empty_edges_and_typed_ids(spark, cfg):
     cc = connected_components(ints, cfg)
     assert cc.schema.simpleString() == "struct<clip_id:bigint,cluster_id:bigint>"
     assert sorted(tuple(r) for r in cc.collect()) == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_merge_clusters_equals_recompute(spark, corpus_xs, cc_cfg):
+    """Incremental maintenance pins recompute equality on the real corpus:
+    split clips into an 'old' batch and a 'new' delta, fold the delta's
+    pairs into the old assignment, and the result must equal
+    assign_clusters over everything (same min-clip_id labels, byte for
+    byte)."""
+    from consult_spark.operators.cluster import merge_clusters
+
+    clips = spark.createDataFrame(corpus_xs["clips"][["clip_id"]])
+    pairs = spark.createDataFrame(corpus_xs["truth_pairs"][["clip_a", "clip_b"]])
+    # deterministic split: a clip is 'new' when its id hashes odd
+    new_ids = clips.filter(F.abs(F.hash("clip_id")) % 3 == 0)
+    old_ids = clips.join(new_ids, "clip_id", "left_anti")
+    # old pairs = both endpoints old; delta pairs = every pair touching new
+    old_pairs = (
+        pairs.join(old_ids.withColumnRenamed("clip_id", "clip_a"), "clip_a", "left_semi")
+        .join(old_ids.withColumnRenamed("clip_id", "clip_b"), "clip_b", "left_semi")
+    )
+    delta_pairs = pairs.exceptAll(old_pairs)
+
+    base = assign_clusters(old_ids, old_pairs, cc_cfg)
+    merged = merge_clusters(base, delta_pairs, cc_cfg, new_clips=new_ids)
+    full = assign_clusters(clips, pairs, cc_cfg)
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_merge_clusters_bridges_existing_clusters(spark, cc_cfg):
+    """A single new edge between two existing clusters relabels BOTH to the
+    merged min, and chains of new edges merge transitively through the
+    contracted graph."""
+    from consult_spark.operators.cluster import merge_clusters
+
+    base = spark.createDataFrame(
+        [("a1", "a1"), ("a2", "a1"), ("b1", "b1"), ("b2", "b1"),
+         ("c1", "c1"), ("d9", "d9")],
+        "clip_id string, cluster_id string",
+    )
+    # b2-c1 bridges {b}, {c}; c1-e7 pulls in a brand-new clip; a-cluster
+    # untouched
+    new_pairs = spark.createDataFrame(
+        [("b2", "c1"), ("c1", "e7")], "clip_a string, clip_b string"
+    )
+    got = {r["clip_id"]: r["cluster_id"] for r in merge_clusters(base, new_pairs, cc_cfg).collect()}
+    assert got == {"a1": "a1", "a2": "a1", "b1": "b1", "b2": "b1",
+                   "c1": "b1", "d9": "d9", "e7": "b1"}
+
+
+def test_merge_clusters_noop_on_intra_cluster_pairs(spark, cc_cfg):
+    """Pairs already inside one cluster contract away — assignment unchanged."""
+    from consult_spark.operators.cluster import merge_clusters
+
+    base = spark.createDataFrame(
+        [("a1", "a1"), ("a2", "a1"), ("a3", "a1")],
+        "clip_id string, cluster_id string",
+    )
+    new_pairs = spark.createDataFrame([("a2", "a3")], "clip_a string, clip_b string")
+    got = sorted(map(tuple, merge_clusters(base, new_pairs, cc_cfg).collect()))
+    assert got == [("a1", "a1"), ("a2", "a1"), ("a3", "a1")]

@@ -165,3 +165,38 @@ def test_stream_probe_replayed_epoch_is_idempotent(spark, probe_setup, cfg, tmp_
 
     for df in (lib_buckets, lib_features, *( [lib_tr] if lib_tr is not None else [] )):
         df.unpersist()
+
+
+def test_update_probe_clusters_matches_full_cc_and_is_idempotent(
+    spark, probe_setup, cfg, tmp_path
+):
+    """After a drain, the maintained clusters table equals a full CC over
+    (matched pairs + unmatched singletons), and re-folding the same sinks
+    is a no-op (already-folded pairs contract away)."""
+    from pyspark.sql import functions as F
+
+    from consult_spark.operators.cluster import assign_clusters
+    from consult_spark.streaming.probe import update_probe_clusters
+
+    wh_dir, clips_dir, _ = probe_setup
+    out_dir = str(tmp_path / "out")
+    q = stream_probe(spark, clips_dir, wh_dir, out_dir, str(tmp_path / "ckpt"), cfg=cfg)
+    q.awaitTermination(180)
+
+    got = sorted(map(tuple, update_probe_clusters(spark, out_dir, cfg=cfg).collect()))
+    pairs = spark.read.parquet(os.path.join(out_dir, "matched_clips")).select(
+        "clip_a", "clip_b"
+    )
+    all_ids = (
+        pairs.select(F.col("clip_a").alias("clip_id"))
+        .union(pairs.select(F.col("clip_b").alias("clip_id")))
+        .union(
+            spark.read.parquet(os.path.join(out_dir, "unmatched_clips")).select("clip_id")
+        )
+        .distinct()
+    )
+    exp = sorted(map(tuple, assign_clusters(all_ids, pairs, cfg).collect()))
+    assert got == exp and len(got) > 0
+
+    again = sorted(map(tuple, update_probe_clusters(spark, out_dir, cfg=cfg).collect()))
+    assert again == got
