@@ -81,6 +81,31 @@ class Warehouse:
             json.dump(manifest, f)
         return n
 
+    def replace(self, df: DataFrame, name: str,
+                partition_by: tuple[str, ...] = ()) -> int:
+        """Overwrite ``name`` with a plan that may READ ``name`` (e.g. the
+        incremental cluster merge reads the old assignment).  Iceberg's
+        createOrReplace is snapshot-isolated so the plain write is safe;
+        parquet mode lands the result beside the table and swaps
+        directories, because overwriting a path a lazy plan still scans
+        corrupts the read."""
+        if self.use_iceberg:
+            return self.write(df, name, partition_by=partition_by)
+        import shutil
+
+        tmp = f"{name}__tmp"
+        n = self.write(df, tmp, partition_by=partition_by)
+        shutil.rmtree(self._path(name), ignore_errors=True)
+        os.replace(self._path(tmp), self._path(name))
+        os.replace(self._manifest_path(tmp), self._manifest_path(name))
+        # the manifest carries the table name; rewrite it to match
+        with open(self._manifest_path(name)) as f:
+            m = json.load(f)
+        m["table"] = name
+        with open(self._manifest_path(name), "w") as f:
+            json.dump(m, f)
+        return n
+
     def read(self, name: str) -> DataFrame:
         if self.use_iceberg:
             return self.spark.read.table(f"local.db.{name}")

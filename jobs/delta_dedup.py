@@ -1,0 +1,50 @@
+"""Delta fold job — grow an existing dedup warehouse by a batch of new
+clips (a day's crawl) at O(delta) compute instead of an O(history)
+pipeline re-run (consult_spark/incremental.py module docstring for the
+algebra; CONSULT's build-once index, main_map.cpp:540-1132, has no
+equivalent — growing its library means rebuilding).
+
+    spark-submit --py-files dist/consult_spark.zip jobs/delta_dedup.py \
+        --delta <parquet path | --delta-dir <raw audio dir>> \
+        --warehouse <dir from jobs/pipeline.py or a previous fold>
+
+Appends features/transcripts/confirmed_pairs, re-caps only the touched
+LSH buckets, merges clusters incrementally, maintains unique_clips.
+The warehouse config must match the session's (params_hash check).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--delta", help="parquet path of the new clips")
+    src.add_argument(
+        "--delta-dir",
+        help="directory of raw audio files; metadata filled by header-only "
+        "probes (sources/clips.py)",
+    )
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from consult_spark.incremental import fold_delta
+    from consult_spark.session import get_spark
+
+    spark = get_spark("consult_spark.delta_dedup", master=args.master)
+    if args.delta_dir:
+        from consult_spark.sources.clips import read_audio_directory
+
+        delta = read_audio_directory(spark, args.delta_dir)
+    else:
+        delta = spark.read.parquet(args.delta)
+    summary = fold_delta(spark, delta, args.warehouse)
+    print(summary)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

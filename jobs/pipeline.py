@@ -72,6 +72,12 @@ def run_pipeline(
     from pyspark.sql import functions as F
 
     sink.add("features", "decode_failed", features.filter(~F.col("decode_ok")).count())
+    if "transcript" in clips.columns:
+        # verify payload for delta folds (consult_spark/incremental.py):
+        # an increment needs the OLD clips' transcripts for the
+        # suffix-array channel, so the warehouse keeps them (same table
+        # build_index writes for the probe jobs)
+        stage("transcripts", lambda: clips.select("clip_id", "transcript"))
     buckets = stage(
         "buckets",
         lambda: bands_op.capped_buckets(bands_op.explode_bands(features), cfg),

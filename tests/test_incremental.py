@@ -1,0 +1,108 @@
+"""Incremental delta fold (consult_spark/incremental.py): the cap-
+composition algebra, full-rebuild equality on the real corpus, and the
+config guard."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from consult_spark.config import Config
+from consult_spark.incremental import fold_delta
+from consult_spark.operators.bands import capped_buckets
+from jobs.pipeline import run_pipeline
+
+BAND_SCHEMA = (
+    "clip_id string, kind string, simhash long, n_shingles int, "
+    "table_l int, band_hash long"
+)
+
+
+def _rand_bands(rng: random.Random, ids: list[str], n_rows: int):
+    """Synthetic band rows: few buckets so the cap genuinely binds, ids
+    drawn from a mixed pool so delta ids sort BEFORE old ids (evictions
+    exercised, not just appends)."""
+    rows = []
+    seen = set()
+    for _ in range(n_rows):
+        cid = rng.choice(ids)
+        key = (rng.choice(["pcm", "txt"]), rng.randrange(4), rng.randrange(6))
+        if (cid, key) in seen:  # one row per (clip, bucket), like explode_bands
+            continue
+        seen.add((cid, key))
+        rows.append((cid, key[0], rng.getrandbits(32), rng.randrange(1, 99),
+                     key[1], key[2]))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [1, 7])
+def test_cap_composition_invariant(spark, seed):
+    """cap(cap(C) ∪ D) == cap(C ∪ D): the algebraic fact that makes the
+    stored capped buckets a sufficient statistic for incremental growth —
+    including when delta ids sort before old survivors and EVICT them."""
+    rng = random.Random(seed)
+    ids = [f"{c}{i:03d}" for c in "abcdefgh" for i in range(12)]
+    rng.shuffle(ids)
+    old_rows = _rand_bands(rng, ids[: len(ids) // 2], 400)
+    new_rows = _rand_bands(rng, ids[len(ids) // 2 :], 150)
+    cfg = Config(bucket_cap=3)
+    C = spark.createDataFrame(old_rows, BAND_SCHEMA)
+    D = spark.createDataFrame(new_rows, BAND_SCHEMA)
+    incremental = capped_buckets(capped_buckets(C, cfg).unionByName(D), cfg)
+    rebuild = capped_buckets(C.unionByName(D), cfg)
+    assert sorted(map(tuple, incremental.collect())) == sorted(
+        map(tuple, rebuild.collect())
+    )
+
+
+def test_fold_delta_equals_full_rebuild(spark, corpus_xs, cfg, tmp_path):
+    """Build a warehouse over the library (bases + hot clique), fold the
+    variants in as a delta, and every output table must equal a full
+    pipeline run over the whole corpus — buckets byte-for-byte (the cap
+    algebra), confirmed_pairs / clusters / unique_clips exactly."""
+    lay = corpus_xs["layout"]
+    clips_pd = corpus_xs["clips"]
+    base_ids = set(lay[(lay.variant_idx == 0) | (lay.group_kind == "hot")]["clip_id"])
+    base = spark.createDataFrame(clips_pd[clips_pd.clip_id.isin(base_ids)])
+    delta = spark.createDataFrame(clips_pd[~clips_pd.clip_id.isin(base_ids)])
+    allc = spark.createDataFrame(clips_pd)
+
+    wh_inc = str(tmp_path / "wh_inc")
+    wh_full = str(tmp_path / "wh_full")
+    run_pipeline(spark, base, wh_inc, cfg=cfg)
+    summary = fold_delta(spark, delta, wh_inc, cfg=cfg)
+    assert summary["n_delta_clips"] == delta.count()
+    assert summary["n_delta_pairs"] > 0
+    run_pipeline(spark, allc, wh_full, cfg=cfg)
+
+    def rows(wh, table, cols):
+        return sorted(
+            map(tuple, spark.read.parquet(f"{wh}/{table}").select(*cols).collect())
+        )
+
+    bucket_cols = ["clip_id", "kind", "simhash", "n_shingles", "table_l", "band_hash"]
+    for table, cols in [
+        ("buckets", bucket_cols),
+        ("confirmed_pairs", ["clip_a", "clip_b", "pcm_jaccard", "is_dup"]),
+        ("clusters", ["clip_id", "cluster_id"]),
+        ("unique_clips", ["clip_id"]),
+    ]:
+        assert rows(wh_inc, table, cols) == rows(wh_full, table, cols), table
+
+    # features were appended under the same partition layout: one row per
+    # (clip, kind) over the whole corpus
+    feats = spark.read.parquet(f"{wh_inc}/features")
+    assert feats.count() == feats.select("clip_id", "kind").distinct().count()
+    assert feats.select("clip_id").distinct().count() == len(clips_pd)
+
+
+def test_fold_rejects_params_mismatch(spark, corpus_xs, tmp_path):
+    """A warehouse built under one params_hash refuses a fold configured
+    with another (same contract as Warehouse.read_config)."""
+    clips = spark.createDataFrame(corpus_xs["clips"].head(20))
+    wh = str(tmp_path / "wh")
+    run_pipeline(spark, clips, wh, cfg=Config())
+    with pytest.raises(ValueError, match="params_hash"):
+        fold_delta(spark, clips, wh, cfg=Config(bucket_cap=5))
