@@ -328,6 +328,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_doc_clusters(spark, sf):
         return textdedup.doc_clusters(_docs(spark, sf))
 
+    def q_incremental_clusters(spark, sf):
+        # fold == rebuild, gated through SQL: the incremental path (base
+        # assignment over 2/3 of the docs, merge_clusters folds the rest)
+        # must hash-match the SAME transitive-closure oracle as doc_clusters
+        return textdedup.incremental_clusters(_docs(spark, sf))
+
     def q_token_stats(spark, sf):
         return text.token_stats(_docs(spark, sf))
 
@@ -588,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unique_docs": q_unique_docs,
         "probe_matched": q_probe_matched,
         "doc_clusters": q_doc_clusters,
+        "incremental_clusters": q_incremental_clusters,
         "token_stats": q_token_stats,
         "bpe_token_stats": q_bpe_token_stats,
         "quality_scores": q_quality_scores,
@@ -680,6 +687,25 @@ def oracle_sql() -> dict[str, str]:
         # transitive closure: reach(node, label) spreads every node's id to
         # everything it can reach; min(label) per node = component minimum
         "doc_clusters": f"""
+            WITH RECURSIVE {_JACC},
+            conf AS (SELECT doc_a, doc_b FROM jacc WHERE jaccard_micro >= 500000),
+            edges AS (
+              SELECT doc_a AS src, doc_b AS dst FROM conf
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM conf
+            ),
+            reach(node, label) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+            )
+            SELECT node AS doc_id, CAST(min(label) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node
+        """,
+        # incremental_clusters must produce the SAME assignment as a full
+        # rebuild (fold-equals-rebuild contract, incremental.py), so its
+        # oracle is doc_clusters' transitive closure verbatim
+        "incremental_clusters": f"""
             WITH RECURSIVE {_JACC},
             conf AS (SELECT doc_a, doc_b FROM jacc WHERE jaccard_micro >= 500000),
             edges AS (

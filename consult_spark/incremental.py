@@ -34,6 +34,17 @@ scanned once each and never shuffled.  The one O(history) cost is the
 bucket-table rewrite IO in plain-parquet mode (copy-on-write of the
 untouched rows); on an Iceberg deployment that write is a row-level
 MERGE into the touched partitions instead.
+
+Crash semantics (stated plainly): a fold is NOT atomic across tables in
+parquet mode — re-running a fold that crashed mid-way duplicates the
+already-appended features/transcripts/confirmed rows, so recover by
+restoring the warehouse (it is a directory; snapshot it before the fold)
+or rebuilding.  On Iceberg every table update is its own snapshot
+commit, and recovery is rolling the partially-updated tables back to the
+pre-fold snapshot — the resume story the north rule names.  The
+CLUSTER-only streaming variant (streaming/probe.update_probe_clusters)
+IS replay-idempotent because folded pairs contract away; the table
+appends here are what break naive re-runs.
 """
 
 from __future__ import annotations

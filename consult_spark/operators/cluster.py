@@ -213,27 +213,38 @@ def merge_clusters(
     """
     # labels for every id the delta can mention: existing assignment, plus
     # self-labels for genuinely-new ids (pair endpoints and new_clips rows
-    # not present in the assignment)
-    delta_ids = new_pairs.select(F.col("clip_a").alias("clip_id")).union(
-        new_pairs.select(F.col("clip_b").alias("clip_id"))
+    # not present in the assignment).  "Not present" is computed WITHOUT an
+    # anti-join against the big table (whose build side would be the
+    # 10^12-row assignment — unbroadcastable, so Catalyst would shuffle
+    # it): instead pull the PRESENT delta ids out with a broadcast
+    # semi-join (scan-only on the assignment), then anti-join two
+    # delta-sized frames.
+    delta_ids = (
+        new_pairs.select(F.col("clip_a").alias("clip_id"))
+        .union(new_pairs.select(F.col("clip_b").alias("clip_id")))
     )
     if new_clips is not None:
         delta_ids = delta_ids.union(new_clips.select("clip_id"))
-    fresh = (
-        delta_ids.distinct()
-        .join(assignments, "clip_id", "left_anti")
-        .withColumn("cluster_id", F.col("clip_id"))
+    delta_ids = delta_ids.distinct()
+    present = assignments.join(F.broadcast(delta_ids), "clip_id", "left_semi").select(
+        "clip_id"
+    )
+    fresh = delta_ids.join(present, "clip_id", "left_anti").withColumn(
+        "cluster_id", F.col("clip_id")
     )
     labels = assignments.unionByName(fresh)
 
     # contract: each new edge becomes an edge between its endpoints' CURRENT
-    # labels; intra-cluster edges vanish.  new_pairs is the small side of
-    # both joins (labels restricted to delta endpoints via the join itself).
+    # labels; intra-cluster edges vanish.  new_pairs is hinted broadcast so
+    # the label lookups stream the big side (labels restricted to delta
+    # endpoints via the join itself).
     la = labels.select(F.col("clip_id").alias("clip_a"), F.col("cluster_id").alias("la"))
     lb = labels.select(F.col("clip_id").alias("clip_b"), F.col("cluster_id").alias("lb"))
+    # hint BOTH lookups (the hint does not survive through the first join's
+    # output, and its post-join size is unknown to the static planner)
+    edges_a = F.broadcast(new_pairs.select("clip_a", "clip_b")).join(la, "clip_a")
     contracted = (
-        new_pairs.select("clip_a", "clip_b")
-        .join(la, "clip_a")
+        F.broadcast(edges_a)
         .join(lb, "clip_b")
         .filter(F.col("la") != F.col("lb"))
         .select(F.col("la").alias("clip_a"), F.col("lb").alias("clip_b"))
@@ -245,7 +256,7 @@ def merge_clusters(
     )
     # relabel: only rows whose old cluster merged change; comp is tiny
     # (<= 2|new_pairs| rows) so this is a broadcast join against the scan
-    return labels.join(comp, "cluster_id", "left").select(
+    return labels.join(F.broadcast(comp), "cluster_id", "left").select(
         "clip_id",
         F.coalesce("merged_id", F.col("cluster_id")).alias("cluster_id"),
     )

@@ -292,6 +292,43 @@ def doc_clusters(docs: DataFrame) -> DataFrame:
     )
 
 
+def incremental_clusters(docs: DataFrame) -> DataFrame:
+    """Same output as :func:`doc_clusters`, computed through the
+    INCREMENTAL path: split docs deterministically into a 'history'
+    (doc_id % 3 != 0) and a 'delta', assign clusters over history-only
+    pairs, then fold the delta's pairs in with cluster.merge_clusters.
+    The driver gate hash-checks this against the same recursive-CTE
+    transitive-closure oracle as doc_clusters — pinning fold == rebuild
+    through SQL, not just pytest (incremental.py module docstring for why
+    equality holds: the delta edge set contains every pair touching a
+    delta doc)."""
+    from ..config import Config
+    from .cluster import assign_clusters, merge_clusters
+
+    def pad(c):
+        return F.lpad(F.col(c).cast("string"), 20, "0")
+
+    cfg = Config()
+    # NOT persisted: the returned plan is lazy (the driver collects later),
+    # so a persist here would be dropped before materialization; the shared
+    # shingle/candidate subtrees are lazily checkpointed inside pair_jaccard
+    # like in every other caller
+    conf = confirmed_pairs(docs)
+    edges = conf.select(pad("doc_a").alias("clip_a"), pad("doc_b").alias("clip_b"))
+    old_ids = docs.filter(F.col("doc_id") % 3 != 0).select(pad("doc_id").alias("clip_id"))
+    new_ids = docs.filter(F.col("doc_id") % 3 == 0).select(pad("doc_id").alias("clip_id"))
+    old_edges = edges.join(
+        old_ids.withColumnRenamed("clip_id", "clip_a"), "clip_a", "left_semi"
+    ).join(old_ids.withColumnRenamed("clip_id", "clip_b"), "clip_b", "left_semi")
+    delta_edges = edges.exceptAll(old_edges)  # every pair touching a delta doc
+    base = assign_clusters(old_ids, old_edges, cfg)
+    merged = merge_clusters(base, delta_edges, cfg, new_clips=new_ids)
+    return merged.select(
+        F.col("clip_id").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+
+
 def unique_docs(docs: DataFrame) -> DataFrame:
     """S13: anti-join — docs with no confirmed dup partner."""
     conf = confirmed_pairs(docs)

@@ -139,3 +139,34 @@ def test_near_dup_auto_is_lsh_above_threshold(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     props = plan_properties(ann.near_dup_auto(emb, brute_max_rows=1))
     assert not props["has_cartesian"]
+
+
+def test_merge_clusters_never_shuffles_the_assignment(spark, tmp_path):
+    """Incremental CC at 10^12 rows lives or dies on this: the existing
+    assignment table must only ever be SCANNED — every join against it is
+    a broadcast of a delta-sized side (the semi for present ids, the two
+    contraction label lookups, the final relabel).  A SortMergeJoin or
+    ShuffledHashJoin anywhere means the fold went O(history)."""
+    from consult_spark.config import Config
+    from consult_spark.operators.cluster import merge_clusters
+
+    path = str(tmp_path / "assign")
+    spark.createDataFrame(
+        [(f"c{i:04d}", f"c{i // 3 * 3:04d}") for i in range(300)],
+        "clip_id string, cluster_id string",
+    ).write.parquet(path)
+    assignments = spark.read.parquet(path)
+    new_pairs = spark.createDataFrame(
+        [("c0001", "x9000"), ("c0100", "c0200")], "clip_a string, clip_b string"
+    )
+    merged = merge_clusters(assignments, new_pairs, Config())
+    props = plan_properties(merged)
+    assert not props["has_cartesian"]
+    assert not props["has_sort_merge_join"]
+    assert not props["has_shuffled_hash_join"]
+    # and the result is still right: x9000 joins c0001's cluster
+    got = {r["clip_id"]: r["cluster_id"] for r in merged.collect()}
+    assert got["x9000"] == got["c0001"] == "c0000"
+    # c0100 lives in cluster c0099 (groups of 3), c0200 in c0198; the new
+    # edge merges them under the min label
+    assert got["c0200"] == got["c0100"] == "c0099"
