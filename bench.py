@@ -939,12 +939,19 @@ def run_delta_fold(cores: int = 16, n_clips: int | None = None) -> None:
     cfg = Config()
     clips = spark.read.parquet(clips_path)
     is_delta = F.abs(F.hash("clip_id")) % 20 == 0
-    base = clips.filter(~is_delta)
-    delta = clips.filter(is_delta)
-    n_base, n_delta = base.count(), delta.count()
 
     work = tempfile.mkdtemp(prefix="bench_delta_")
     try:
+        # materialize the delta slice as its OWN parquet (untimed): a real
+        # increment arrives as its own files — handing the fold a filtered
+        # view of the whole corpus would bill it a full-corpus IO scan for
+        # every consumer that touches the bytes column
+        delta_path = os.path.join(work, "delta_clips")
+        clips.filter(is_delta).write.parquet(delta_path)
+        delta = spark.read.parquet(delta_path)
+        base = clips.filter(~is_delta)
+        n_base, n_delta = base.count(), delta.count()
+
         wh_inc = os.path.join(work, "wh_inc")
         wh_full = os.path.join(work, "wh_full")
         run_pipeline(spark, base, wh_inc, cfg=cfg)  # untimed: the history

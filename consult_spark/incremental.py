@@ -139,8 +139,29 @@ def fold_delta(
     # Band counts are exact vs a full rebuild: every bucket containing a
     # delta clip is in `touched`, so no co-occurrence is missed.
     cands = pairs_op.candidate_pairs(merged_touched, cfg)
-    delta_cands = _pairs_touching(cands, delta_ids)
+    delta_cands = _pairs_touching(cands, delta_ids).persist()
+    # verify must NOT drag the history's fat shingle table through a
+    # shuffle for a delta-sized pair set: restrict features/transcripts to
+    # the pair members first (broadcast semi = scan-only on the history
+    # table, output O(delta * cap) rows).  This also flips channel_scores'
+    # size-routed gate back to the broadcast fast path — measured at 240k,
+    # the unrestricted fold shuffled the full 2-channel shingle payload
+    # twice per channel and cost as much as the rebuild it replaces.
+    pair_ids = (
+        delta_cands.select(F.col("clip_a").alias("clip_id"))
+        .unionByName(delta_cands.select(F.col("clip_b").alias("clip_id")))
+        .distinct()
+    )
     features_all = wh.read("features")  # includes the appended delta rows
+    features_needed = features_all.join(
+        F.broadcast(pair_ids), "clip_id", "left_semi"
+    ).persist()
+    # eager: pay the one unavoidable full scan of the history's feature
+    # table HERE, once — verify's several consumers (two channels x
+    # narrow+fat projections + the broadcast-gate count) then read the
+    # delta-sized cache instead of re-scanning the fat payload each time
+    timed("candidates", lambda: delta_cands.count())
+    timed("pair_features_scan", lambda: features_needed.count())
     if wh.exists("transcripts"):
         tr_old = wh.read("transcripts")
     else:
@@ -151,16 +172,32 @@ def fold_delta(
         tr_all = tr_old.unionByName(tr_delta)
     else:
         tr_all = tr_old
+    tr_needed = tr_all.join(F.broadcast(pair_ids), "clip_id", "left_semi")
+    # localCheckpoint(eager), NOT persist: everything downstream of this
+    # point (cluster merge, unique maintenance, summary counts) runs AFTER
+    # wh.replace has swapped the buckets directory out from under this
+    # plan's lineage — a persisted-but-evicted partition would silently
+    # re-derive the verify chain against the replaced table (measured as a
+    # surprise ~90 s re-verify mid-fold before this fix; a truncated
+    # lineage cannot recompute, so it can neither pay that nor read swapped
+    # data).
     confirmed_delta = timed(
         "confirmed_pairs",
-        lambda: verify_op.confirm_pairs(delta_cands, features_all, tr_all, cfg).persist(),
+        lambda: verify_op.confirm_pairs(
+            delta_cands, features_needed, tr_needed, cfg
+        ).localCheckpoint(eager=True),
     )
-    n_new_pairs = wh.write(confirmed_delta, "confirmed_pairs", mode="append")
+    n_new_pairs = timed(
+        "verify_write", lambda: wh.write(confirmed_delta, "confirmed_pairs", mode="append")
+    )
     n_delta_pairs = confirmed_delta.count()
 
     # -- buckets rewrite: untouched rows pass through (broadcast anti =
     # scan), touched keys take the re-capped membership.  Copy-on-write of
-    # the history in parquet mode; a row-level MERGE on Iceberg.
+    # the history in parquet mode; a row-level MERGE on Iceberg.  The
+    # directory swap happens HERE, before the cluster/unique updates — safe
+    # only because every later consumer reads the checkpointed
+    # confirmed_delta, never back through the bucket lineage.
     new_buckets = old_buckets.join(
         F.broadcast(touched), BUCKET_COLS, "left_anti"
     ).unionByName(merged_touched)
@@ -168,17 +205,22 @@ def fold_delta(
 
     # -- clusters: incremental CC (assignment scanned, never shuffled)
     old_clusters = wh.read("clusters")
-    merged_clusters = cluster_op.merge_clusters(
-        old_clusters,
-        confirmed_delta.select("clip_a", "clip_b"),
-        cfg,
-        new_clips=delta_ids,
+    merged_clusters = timed(
+        "clusters_merge",
+        lambda: cluster_op.merge_clusters(
+            old_clusters,
+            confirmed_delta.select("clip_a", "clip_b"),
+            cfg,
+            new_clips=delta_ids,
+        ),
     )
     timed("clusters", lambda: wh.replace(merged_clusters, "clusters"))
 
     # -- unique_clips: O(delta) maintenance — ids that gained a partner
     # leave, partnerless delta clips enter.  (A previously-paired old clip
-    # can never become unique again: confirmed pairs are only added.)
+    # can never become unique again: confirmed pairs are only added.)  The
+    # table is ids-only (cluster.unique_clips docstring), so the parquet
+    # copy-on-write here moves ids, never byte payloads.
     paired_ids = (
         confirmed_delta.select(F.col("clip_a").alias("clip_id"))
         .unionByName(confirmed_delta.select(F.col("clip_b").alias("clip_id")))
@@ -190,18 +232,25 @@ def fold_delta(
     ).join(F.broadcast(paired_ids), "clip_id", "left_anti")
     timed("unique_clips", lambda: wh.replace(new_unique, "unique_clips"))
 
-    for name in ("confirmed_pairs", "clusters", "unique_clips"):
-        sink.record_stage(wh.read(name), name, {"wall_sec": timings.get(name, 0.0)})
-    sink.flush()
+    def _lineage():
+        for name in ("confirmed_pairs", "clusters", "unique_clips"):
+            sink.record_stage(wh.read(name), name, {"wall_sec": timings.get(name, 0.0)})
+        sink.flush()
+
+    timed("lineage", _lineage)
 
     summary = {
         "run_id": wh.run_id,
         "timings": timings,
-        "n_delta_clips": delta_ids.count(),
+        # counted off the cached features, NOT the input df — the caller may
+        # hand a filtered view of a huge table, and re-scanning it for a
+        # summary number would be its own O(corpus) pass
+        "n_delta_clips": delta_features.select("clip_id").distinct().count(),
         "n_delta_pairs": n_delta_pairs,
         "n_confirmed_total": n_new_pairs,
         "n_touched_buckets": touched.count(),
     }
-    for df in (delta_features, touched, merged_touched, confirmed_delta):
+    for df in (delta_features, touched, merged_touched, delta_cands,
+               features_needed):
         df.unpersist()
     return summary

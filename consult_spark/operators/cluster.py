@@ -263,9 +263,18 @@ def merge_clusters(
 
 
 def unique_clips(clips: DataFrame, confirmed: DataFrame) -> DataFrame:
-    """The anti-join output — clips with no confirmed dup partner (the
-    ucseq_ unclassified-reads analog, main_search.cpp:1021-1041, README.md:82)."""
+    """The anti-join output — IDS of clips with no confirmed dup partner
+    (the ucseq_ unclassified-reads analog, main_search.cpp:1021-1041,
+    README.md:82).
+
+    Ids only, by design: materializing full rows would copy ~half the
+    corpus byte payload into a second table (a ~50 TB duplicate at the
+    10^12-clip tier) and turn every downstream rewrite — notably the delta
+    fold's O(delta) maintenance of this table — into corpus-sized IO.
+    CONSULT writes the actual unclassified sequences because its output IS
+    a FASTA file; here the clips live in an addressable table, so the ids
+    join back to the payload when a consumer needs it."""
     members = confirmed.select(F.col("clip_a").alias("clip_id")).union(
         confirmed.select(F.col("clip_b").alias("clip_id"))
     )
-    return clips.join(members.distinct(), "clip_id", "left_anti")
+    return clips.select("clip_id").join(members.distinct(), "clip_id", "left_anti")
