@@ -111,6 +111,47 @@ class Warehouse:
             return self.spark.read.table(f"local.db.{name}")
         return self.spark.read.parquet(self._path(name))
 
+    # ---------------- snapshot / restore (parquet-mode fold atomicity) ----
+    # The plain-parquet analog of rolling Iceberg tables back to a pre-fold
+    # snapshot: a multi-table update (incremental.fold_delta) is not atomic
+    # across tables, so the job snapshots first and restores on failure.
+    # Payload files are HARDLINKED (immutable once written: appends create
+    # new files, wh.replace swaps directory entries — neither touches a
+    # shared inode), while the *.json manifests are byte-copied because
+    # wh.write rewrites them IN PLACE, which through a hardlink would
+    # corrupt the snapshot.
+    def snapshot(self, tag: str = "pre_fold") -> str:
+        import shutil
+
+        snap = f"{self.root.rstrip('/')}.__snapshot_{tag}"
+        shutil.rmtree(snap, ignore_errors=True)
+        shutil.copytree(self.root, snap, copy_function=os.link)
+        for entry in os.listdir(snap):
+            if entry.endswith(".json"):
+                p = os.path.join(snap, entry)
+                os.unlink(p)
+                shutil.copyfile(os.path.join(self.root, entry), p)
+        return snap
+
+    def restore(self, snap: str) -> None:
+        """Discard the live warehouse and promote the snapshot (rename —
+        atomic at the directory level)."""
+        import shutil
+
+        if not os.path.isdir(snap):
+            raise FileNotFoundError(f"no snapshot at {snap}")
+        live = self.root.rstrip("/")
+        trash = f"{live}.__restore_trash"
+        shutil.rmtree(trash, ignore_errors=True)
+        os.replace(live, trash)
+        os.replace(snap, live)
+        shutil.rmtree(trash, ignore_errors=True)
+
+    def drop_snapshot(self, snap: str) -> None:
+        import shutil
+
+        shutil.rmtree(snap, ignore_errors=True)
+
     def exists(self, name: str) -> bool:
         """True iff the table was completely written under the SAME config."""
         mp = self._manifest_path(name)

@@ -98,6 +98,60 @@ def test_fold_delta_equals_full_rebuild(spark, corpus_xs, cfg, tmp_path):
     assert feats.select("clip_id").distinct().count() == len(clips_pd)
 
 
+def test_snapshot_restore_recovers_failed_fold(spark, corpus_xs, tmp_path, monkeypatch):
+    """The jobs/delta_dedup.py crash guard: snapshot, fail a fold AFTER it
+    has already dirtied the warehouse (features appended), restore — every
+    table and manifest must be byte-for-byte the pre-fold state, and a
+    retried fold against the restored warehouse must succeed normally."""
+    import hashlib
+    import os
+
+    from consult_spark.io import Warehouse
+
+    clips_pd = corpus_xs["clips"]
+    lay = corpus_xs["layout"]
+    base_ids = set(lay[(lay.variant_idx == 0) | (lay.group_kind == "hot")]["clip_id"])
+    base = spark.createDataFrame(clips_pd[clips_pd.clip_id.isin(base_ids)])
+    delta = spark.createDataFrame(clips_pd[~clips_pd.clip_id.isin(base_ids)])
+    wh_dir = str(tmp_path / "wh")
+    cfg = Config()
+    run_pipeline(spark, base, wh_dir, cfg=cfg)
+
+    def tree_state(root):
+        state = {}
+        for dirpath, _, files in os.walk(root):
+            for fn in files:
+                p = os.path.join(dirpath, fn)
+                if fn.endswith(".crc"):
+                    continue
+                with open(p, "rb") as f:
+                    state[os.path.relpath(p, root)] = hashlib.sha256(f.read()).hexdigest()
+        return state
+
+    before = tree_state(wh_dir)
+    wh = Warehouse(spark, wh_dir, cfg)
+    snap = wh.snapshot()
+
+    # fail the fold after the features append (state already dirty)
+    import consult_spark.incremental as inc
+
+    def boom(*a, **k):
+        raise RuntimeError("injected mid-fold failure")
+
+    monkeypatch.setattr(inc.verify_op, "confirm_pairs", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        fold_delta(spark, delta, wh_dir, cfg=cfg)
+    assert tree_state(wh_dir) != before  # the crash really left a dirty state
+
+    wh.restore(snap)
+    assert tree_state(wh_dir) == before  # byte-for-byte recovery
+
+    # and the retried fold (restored verify) completes with the right totals
+    monkeypatch.undo()
+    summary = fold_delta(spark, delta, wh_dir, cfg=cfg)
+    assert summary["n_confirmed_total"] == 1374  # full-corpus golden
+
+
 def test_fold_rejects_params_mismatch(spark, corpus_xs, tmp_path):
     """A warehouse built under one params_hash refuses a fold configured
     with another (same contract as Warehouse.read_config)."""
