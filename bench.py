@@ -926,7 +926,11 @@ def run_delta_fold(cores: int = 16, n_clips: int | None = None) -> None:
     from consult_spark.session import get_spark
     from jobs.pipeline import run_pipeline
 
-    n = n_clips or 20000
+    # default = the tier BENCH/DELTA.md records: big enough that the
+    # rebuild's decode+verify dominates its fixed job costs (at 20k both
+    # sides are overhead-bound and the comparison measures Spark's floor,
+    # not the fold)
+    n = n_clips or 240000
     os.environ["SPARK_GRAFT_BENCH_CLIPS"] = str(n)
     os.environ.setdefault(
         "CONSULT_SPARK_DRIVER_MEM", "48g" if n > 500_000 else "16g"
