@@ -660,7 +660,13 @@ def run_single_audio(cores: int, n_clips: int | None = None,
                      staged: bool = False) -> None:
     from consult_spark.session import get_spark
 
-    spark = get_spark(f"bench_audio_{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
+    # SPARK_GRAFT_SHUFFLE_PARTS: A/B knob for shuffle-partition count at a
+    # fixed width (stage-tail experiments; default = cores, the historical
+    # bench config every cross-round number was measured under)
+    spark = get_spark(
+        f"bench_audio_{cores}", master=f"local[{cores}]",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTS", cores)),
+    )
     if n_clips:
         os.environ["SPARK_GRAFT_BENCH_CLIPS"] = str(n_clips)
     sf = _sf_of(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
