@@ -80,6 +80,101 @@ def _pairs_touching(cands: DataFrame, ids: DataFrame) -> DataFrame:
     )
 
 
+def grow_index(
+    spark: SparkSession,
+    delta_clips: DataFrame,
+    warehouse_dir: str,
+    cfg: Config | None = None,
+    run_id: str = "",
+) -> dict:
+    """Grow a SEARCH index (jobs/build_index.py warehouse: features +
+    lsh_buckets + transcripts) by new clips at O(delta) — the enrollment
+    half of the fold, without the pair/cluster machinery.  CONSULT's map
+    is frozen at build time (main_map.cpp:859-946); this is what lets a
+    probe deployment absorb its own unmatched traffic into the library
+    (jobs/probe_stream.py --enroll-unmatched).
+
+    Idempotent per clip_id: ids already present in the index are dropped
+    from the delta first (a replayed enrollment is a no-op), so the
+    caller may re-run after a crash without duplicating features or
+    bucket members.  Bucket growth uses the same cap-composition algebra
+    as fold_delta; `bucket_stats` is NOT refreshed (it is an occupancy
+    snapshot of the original build — recomputing it needs the uncapped
+    band table, an O(history) pass the enrollment path refuses to pay).
+    """
+    cfg = cfg or Config()
+    wh = Warehouse(spark, warehouse_dir, cfg, run_id=run_id)
+    wh.read_config()
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # drop already-enrolled ids: present-id lookup is a broadcast semi
+    # against the features scan (same shape as merge_clusters' fresh-ids
+    # rule — never an anti-join whose build side is the history)
+    delta_ids = delta_clips.select("clip_id").distinct()
+    present = (
+        wh.read("features")
+        .select("clip_id")
+        .join(F.broadcast(delta_ids), "clip_id", "left_semi")
+        .distinct()
+    )
+    fresh_clips = delta_clips.join(F.broadcast(present), "clip_id", "left_anti")
+
+    # localCheckpoint BEFORE the append: this plan's lineage reads the very
+    # features table the append is about to grow — a recompute after the
+    # append would see the just-enrolled ids as "present", collapse fresh
+    # to empty, and make the enrollment vanish from its own bucket update
+    # (observed: n_enrolled=0 with the rows already appended).  Same class
+    # as fold_delta's confirmed_delta checkpoint, append-flavored.
+    delta_features = timed(
+        "featurize",
+        lambda: shingle_op.featurize(fresh_clips, cfg).localCheckpoint(eager=True),
+    )
+    n_fresh = delta_features.select("clip_id").distinct().count()
+    n_new = timed(
+        "features",
+        lambda: wh.write(delta_features, "features", mode="append",
+                         partition_by=("kind",)),
+    )
+    if "transcript" in delta_clips.columns and wh.exists("transcripts"):
+        timed(
+            "transcripts",
+            lambda: wh.write(
+                fresh_clips.select("clip_id", "transcript"), "transcripts",
+                mode="append",
+            ),
+        )
+
+    delta_capped = bands_op.capped_buckets(bands_op.explode_bands(delta_features), cfg)
+    touched = delta_capped.select(*BUCKET_COLS).distinct().persist()
+    old_buckets = wh.read("lsh_buckets")
+    merged_touched = bands_op.capped_buckets(
+        old_buckets.join(F.broadcast(touched), BUCKET_COLS, "left_semi")
+        .unionByName(delta_capped),
+        cfg,
+    )
+    new_buckets = old_buckets.join(
+        F.broadcast(touched), BUCKET_COLS, "left_anti"
+    ).unionByName(merged_touched)
+    timed("lsh_buckets", lambda: wh.replace(new_buckets, "lsh_buckets"))
+
+    summary = {
+        "run_id": wh.run_id,
+        "timings": timings,
+        "n_enrolled": n_fresh,
+        "n_already_present": delta_ids.count() - n_fresh,
+        "n_features_total": n_new,
+        "n_touched_buckets": touched.count(),
+    }
+    touched.unpersist()
+    return summary
+
+
 def fold_delta(
     spark: SparkSession,
     delta_clips: DataFrame,

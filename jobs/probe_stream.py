@@ -14,6 +14,12 @@ at-least-once = exactly-once effect; streaming/probe.py module docstring).
 (processing-time trigger) until terminated externally.  ``--update-clusters``
 folds the drain's verified matches into a maintained <out>/clusters table
 via incremental connected components (O(matches) per drain, idempotent).
+``--enroll-unmatched`` grows the library with the drain's unmatched clips
+(incremental.grow_index: same cap-compose algebra as the delta fold,
+id-idempotent, snapshot-guarded) so the NEXT drain matches against them —
+CONSULT's frozen map cannot do this (main_map.cpp:859-946); a crawl
+deployment absorbing its own novelty is the continuous version of the
+build-then-search loop.
 """
 
 from __future__ import annotations
@@ -32,6 +38,10 @@ def main() -> None:
                     help="after the drain, fold verified matches into a "
                     "maintained <out>/clusters table (incremental CC; "
                     "idempotent across re-runs)")
+    ap.add_argument("--enroll-unmatched", action="store_true",
+                    help="after the drain, grow the index with the drain's "
+                    "unmatched clips (id-idempotent, snapshot-guarded) so "
+                    "the next drain matches against them")
     ap.add_argument("--master", default=None)
     ap.add_argument("--max-files-per-trigger", type=int, default=4)
     args = ap.parse_args()
@@ -75,6 +85,32 @@ def main() -> None:
         clusters = update_probe_clusters(spark, args.out)
         summary["n_clustered_clips"] = clusters.count()
         summary["n_clusters"] = clusters.select("cluster_id").distinct().count()
+    if args.enroll_unmatched:
+        from pyspark.sql import functions as F
+
+        from consult_spark.config import Config
+        from consult_spark.incremental import grow_index
+        from consult_spark.io import Warehouse
+
+        unmatched_dir = os.path.join(args.out, "unmatched_clips")
+        if os.path.isdir(unmatched_dir):
+            ids = spark.read.parquet(unmatched_dir).select("clip_id").distinct()
+            delta = spark.read.parquet(args.clips).join(
+                F.broadcast(ids), "clip_id", "left_semi"
+            )
+            wh = Warehouse(spark, args.warehouse, Config())
+            snap = None if wh.use_iceberg else wh.snapshot(tag="pre_enroll")
+            try:
+                enroll = grow_index(spark, delta, args.warehouse)
+            except BaseException:
+                if snap is not None:
+                    wh.restore(snap)
+                    print({"enroll": "FAILED", "restored_from_snapshot": True})
+                raise
+            if snap is not None:
+                wh.drop_snapshot(snap)
+            summary["n_enrolled"] = enroll["n_enrolled"]
+            summary["n_already_present"] = enroll["n_already_present"]
     print(summary)
     spark.stop()
 

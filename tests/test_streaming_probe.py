@@ -200,3 +200,82 @@ def test_update_probe_clusters_matches_full_cc_and_is_idempotent(
 
     again = sorted(map(tuple, update_probe_clusters(spark, out_dir, cfg=cfg).collect()))
     assert again == got
+
+
+def test_enroll_unmatched_grows_library_and_is_idempotent(
+    spark, probe_setup, corpus_xs, cfg, tmp_path
+):
+    """The continuous-growth loop: clips the library cannot match get
+    enrolled (incremental.grow_index), and a later drain of re-crawled
+    duplicates of those clips (same bytes, new ids) matches them.  A
+    replayed enrollment is an id-level no-op (buckets byte-identical).
+
+    Runs against a COPY of the shared index (enrollment mutates it) and
+    streams a mix of known variants (match) and genuinely novel audio
+    (seed-99 corpus, unmatched)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from consult_spark.datagen import generate_corpus_pandas
+    from consult_spark.incremental import grow_index
+
+    shared_wh, _, qry = probe_setup
+    wh_dir = str(tmp_path / "wh")
+    shutil.copytree(shared_wh, wh_dir)
+
+    novel = generate_corpus_pandas(12, seed=99)["clips"].copy()
+    novel["clip_id"] = "novel_" + novel["clip_id"]
+    import pandas as pd
+
+    stream1 = pd.concat([qry.head(10), novel], ignore_index=True)
+    clips_dir = str(tmp_path / "clips1")
+    spark.createDataFrame(stream1).coalesce(1).write.parquet(clips_dir)
+
+    out1 = str(tmp_path / "out1")
+    q = stream_probe(spark, clips_dir, wh_dir, out1, str(tmp_path / "ck1"), cfg=cfg)
+    q.awaitTermination(180)
+    unmatched_ids = {
+        r["clip_id"]
+        for r in spark.read.parquet(os.path.join(out1, "unmatched_clips")).collect()
+    }
+    # novel audio is unmatched; the known variants are not.  (Novel clips
+    # can legitimately match EACH OTHER if seed-99 plants dups among them,
+    # but they cannot match the library.)
+    assert unmatched_ids and all(c.startswith("novel_") for c in unmatched_ids)
+
+    solos = novel[novel.clip_id.isin(unmatched_ids)]
+    enroll = grow_index(spark, spark.createDataFrame(solos), wh_dir, cfg=cfg)
+    assert enroll["n_enrolled"] == len(unmatched_ids)
+    assert enroll["n_already_present"] == 0
+
+    # replayed enrollment: nothing new, bucket table byte-identical
+    before = sorted(
+        map(tuple, spark.read.parquet(os.path.join(wh_dir, "lsh_buckets")).collect())
+    )
+    again = grow_index(spark, spark.createDataFrame(solos), wh_dir, cfg=cfg)
+    assert again["n_enrolled"] == 0
+    assert again["n_already_present"] == len(unmatched_ids)
+    after = sorted(
+        map(tuple, spark.read.parquet(os.path.join(wh_dir, "lsh_buckets")).collect())
+    )
+    assert before == after
+
+    # re-crawl: the same audio under NEW ids must now match the enrolled
+    # copies (a second, fresh stream against the grown index)
+    recrawl = solos.copy()
+    recrawl["clip_id"] = recrawl["clip_id"] + "_re"
+    clips_dir2 = str(tmp_path / "clips2")
+    spark.createDataFrame(recrawl).coalesce(1).write.parquet(clips_dir2)
+    out2 = str(tmp_path / "out2")
+    q2 = stream_probe(spark, clips_dir2, wh_dir, out2, str(tmp_path / "ck2"), cfg=cfg)
+    q2.awaitTermination(180)
+    hits = {
+        (r["clip_a"], r["clip_b"])
+        for r in spark.read.parquet(os.path.join(out2, "matched_clips"))
+        .select("clip_a", "clip_b")
+        .collect()
+    }
+    for cid in unmatched_ids:  # every re-crawled solo matches its original
+        assert (cid + "_re", cid) in hits or (cid, cid + "_re") in hits
+    assert spark.read.parquet(os.path.join(out2, "unmatched_clips")).count() == 0
