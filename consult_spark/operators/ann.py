@@ -213,19 +213,37 @@ def hyperplane_buckets(emb: DataFrame, n_planes: int = 12, seed: int = 0xC05, di
     pseudo-random projections) — SimHash-for-cosine.
 
     bucket = sum over planes p of (1<<p if dot(q, h_p) > 0).
-    """
+
+    Projections run as ONE int64 numpy matmul per Arrow batch (the same
+    shape as hyperplane_band_buckets) instead of n_planes interpreted
+    zip_with/aggregate passes per row — exact integer math either way, so
+    the buckets are bit-identical."""
+    import numpy as np
+
+    signs = np.array(_hyperplane_signs(n_planes, dim, seed), dtype=np.int64)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
     qdf = quantized(emb)
-    signs = _hyperplane_signs(n_planes, dim, seed)
-    bucket = F.lit(0)
-    for p, row in enumerate(signs):
-        lit_row = F.array(*[F.lit(s) for s in row])
-        proj = F.aggregate(
-            F.zip_with(F.col("q"), lit_row, lambda v, s: v * s),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
-    return qdf.withColumn("bucket", bucket.cast("bigint"))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            bits = (m @ signs.T > 0).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "q": pdf["q"],
+                    "norm_q": pdf["norm_q"],
+                    "bucket": (bits * weights[None, :]).sum(axis=1),
+                }
+            )
+
+    return qdf.mapInPandas(
+        run, schema="vec_id bigint, q array<bigint>, norm_q bigint, bucket bigint"
+    )
 
 
 def _signs_matrix(n_bands: int, k: int, dim: int, seed: int):
@@ -376,22 +394,45 @@ def ivf_topk(emb: DataFrame, k: int = 3, n_cells: int = 32, seed: int = 0x1F5,
     nprobe=4): cosine 0.90 -> 0.90, 0.95 -> 0.96, 0.99 -> 0.997 (pinned by
     test_ann_ivf).  On structureless uniform vectors any partition-based
     ANN has low recall by construction — the exact baseline is cosine_topk."""
+    import numpy as np
+
     probe = ivf_assign(emb, n_cells=n_cells, seed=seed, nprobe=nprobe)
-    lib = probe.filter(F.col("probe_rank") == 1)
     q = quantized(emb)
-    a = (
-        probe.join(q, "vec_id")
-        .select("cell", F.col("vec_id").alias("vec_a"), F.col("q").alias("q_a"), F.col("norm_q").alias("na"))
+    # one frame per (cell, member): probe_rank==1 rows double as the cell's
+    # library entries.  Scoring is CELL-LOCAL (one numpy probe x lib matmul
+    # per cell group) instead of the cell join + interpreted per-pair
+    # zip_with/aggregate fold (~500k 64-element folds at sf0.1, measured
+    # ~4 s); a query's candidates span nprobe cells, so the global top-k
+    # window below is unchanged.  Bit-identical scoring math.
+    side = probe.join(q, "vec_id").select(
+        "cell", "vec_id", "q", "norm_q", (F.col("probe_rank") == 1).alias("is_lib")
     )
-    b = (
-        lib.join(q, "vec_id")
-        .select("cell", F.col("vec_id").alias("vec_b"), F.col("q").alias("q_b"), F.col("norm_q").alias("nb"))
-    )
-    scores = (
-        a.join(b, "cell")
-        .filter(F.col("vec_a") != F.col("vec_b"))
-        .withColumn("sim_micro", _sim_micro())
-        .select("vec_a", "vec_b", "sim_micro")
+
+    def cell_scores(pdf) -> "pd.DataFrame":
+        import pandas as pd
+
+        lib_mask = pdf["is_lib"].to_numpy()
+        n_lib = int(lib_mask.sum())
+        if n_lib == 0 or len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "sim_micro": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "sim_micro": "int64"}
+            )
+        ids = pdf["vec_id"].to_numpy()
+        m = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+        norms = pdf["norm_q"].to_numpy().astype(np.int64)
+        lm, lids, lnorms = m[lib_mask], ids[lib_mask], norms[lib_mask]
+        dots = m @ lm.T  # exact int64, probe x lib
+        sim = np.floor(
+            1_000_000.0 * dots / np.sqrt((norms[:, None] * lnorms[None, :]).astype(np.float64))
+        ).astype(np.int64)
+        keep = ids[:, None] != lids[None, :]
+        ii, jj = np.nonzero(keep)
+        return pd.DataFrame(
+            {"vec_a": ids[ii], "vec_b": lids[jj], "sim_micro": sim[ii, jj]}
+        )
+
+    scores = side.groupBy("cell").applyInPandas(
+        cell_scores, schema="vec_a bigint, vec_b bigint, sim_micro bigint"
     )
     w = Window.partitionBy("vec_a").orderBy(F.col("sim_micro").desc(), F.col("vec_b").asc())
     return (
@@ -403,20 +444,51 @@ def ivf_topk(emb: DataFrame, k: int = 3, n_cells: int = 32, seed: int = 0x1F5,
 
 def lsh_bucketed_topk(emb: DataFrame, k: int = 3, n_planes: int = 12) -> DataFrame:
     """Approximate top-k: exact scoring restricted to same-bucket candidates.
-    At 10^12 rows this replaces the O(n^2) cross join with a per-bucket
-    self-join (bucket sizes ~ n / 2^n_planes; tune n_planes to data size)."""
+    At 10^12 rows this replaces the O(n^2) cross join with per-bucket work
+    (bucket sizes ~ n / 2^n_planes; tune n_planes to data size).
+
+    Every vector has exactly ONE bucket in this single-plane-set scheme, so
+    its entire candidate set lives in its bucket and the global
+    row_number(sim desc, vec_b asc) <= k is a BUCKET-LOCAL top-k.  That
+    collapses the previous bucket self-join + interpreted per-pair
+    zip_with/aggregate scoring + window (3 exchanges, ~62k interpreted
+    64-element folds at sf0.1) into one groupBy(bucket) + one numpy matmul
+    and the cosine_topk ranking loop per group — bit-identical results
+    (exact int64 dots, same multiply-divide-floor double step, same
+    (sim desc, id asc) tie-break)."""
+    import numpy as np
+
     b = hyperplane_buckets(emb, n_planes=n_planes)
-    a = b.select("bucket", F.col("vec_id").alias("vec_a"), F.col("q").alias("q_a"), F.col("norm_q").alias("na"))
-    c = b.select("bucket", F.col("vec_id").alias("vec_b"), F.col("q").alias("q_b"), F.col("norm_q").alias("nb"))
-    scores = (
-        a.join(c, "bucket")
-        .filter(F.col("vec_a") != F.col("vec_b"))
-        .withColumn("sim_micro", _sim_micro())
-        .select("vec_a", "vec_b", "sim_micro")
-    )
-    w = Window.partitionBy("vec_a").orderBy(F.col("sim_micro").desc(), F.col("vec_b").asc())
-    return (
-        scores.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= k)
-        .select("vec_a", "vec_b", "sim_micro", "rank")
+
+    def topk(pdf) -> "pd.DataFrame":
+        import pandas as pd
+
+        n = len(pdf)
+        out_a, out_b, out_s, out_r = [], [], [], []
+        if n >= 2:
+            ids = pdf["vec_id"].to_numpy()
+            m = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            norms = pdf["norm_q"].to_numpy().astype(np.int64)
+            dots = m @ m.T  # exact int64
+            sim = np.floor(
+                1_000_000.0 * dots / np.sqrt((norms[:, None] * norms[None, :]).astype(np.float64))
+            ).astype(np.int64)
+            for i in range(n):
+                row = sim[i]
+                keys = np.lexsort((ids, -row))  # sim desc, vec_b asc
+                taken = 0
+                for j in keys:
+                    if ids[j] == ids[i]:
+                        continue
+                    taken += 1
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    out_s.append(row[j])
+                    out_r.append(taken)
+                    if taken == k:
+                        break
+        return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "sim_micro": out_s, "rank": out_r})
+
+    return b.groupBy("bucket").applyInPandas(
+        topk, schema="vec_a bigint, vec_b bigint, sim_micro bigint, rank bigint"
     )

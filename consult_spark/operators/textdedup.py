@@ -42,9 +42,37 @@ def load_documents(spark, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _windows(k: int) -> F.Column:
+    """All width-k character windows of text as one row-local array."""
+    return F.expr(f"transform(sequence(1, length(text) - {k - 1}), i -> substring(text, i, {k}))")
+
+
+def _spread(docs: DataFrame) -> DataFrame:
+    """Hash-repartition the (tiny) documents table across the session's
+    parallelism.  The row-local shingle/minhash chain below is shuffle-free,
+    so it inherits the SCAN's partitioning — and a small documents parquet is
+    one row group = one partition, which would serialize the whole chain on
+    a single core.  One exchange of the raw docs (KB-scale) buys full-width
+    execution of everything derived from it; the count is derived from the
+    session (scale-adaptive), never a constant (guide §2.5: deterministic
+    key, no rand)."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return docs.repartition(n, "doc_id")
+
+
 def doc_shingles(docs: DataFrame, k: int = SHINGLE_K, distinct: bool = True) -> DataFrame:
-    """(doc_id, sh [, i]) — all width-k character windows of text."""
-    base = (
+    """(doc_id, sh [, i]) — all width-k character windows of text.
+
+    The distinct form explodes the ROW-LOCAL distinct window array instead of
+    paying a corpus-wide (doc_id, sh) distinct shuffle — set semantics per
+    doc are identical (distinct never crossed documents), the exchange is
+    gone (guide §2.4)."""
+    if distinct:
+        return (
+            _spread(docs).filter(F.length("text") >= k)
+            .select("doc_id", F.explode(F.array_distinct(_windows(k))).alias("sh"))
+        )
+    return (
         docs.filter(F.length("text") >= k)
         .select(
             "doc_id",
@@ -57,17 +85,18 @@ def doc_shingles(docs: DataFrame, k: int = SHINGLE_K, distinct: bool = True) -> 
             F.expr(f"substring(text, i, {k})").alias("sh"),
         )
     )
-    if distinct:
-        return base.select("doc_id", "sh").distinct()
-    return base
 
 
 def shingle_stats(docs: DataFrame) -> DataFrame:
-    """Per doc: total windows + distinct shingles (S5 window-count check)."""
-    all_sh = doc_shingles(docs, distinct=False)
-    return all_sh.groupBy("doc_id").agg(
-        F.count("*").alias("n_windows"),
-        F.countDistinct("sh").alias("n_distinct"),
+    """Per doc: total windows + distinct shingles (S5 window-count check).
+
+    Row-local: the window count is arithmetic on length(text) and the
+    distinct count sizes the per-doc distinct window array — no explode, no
+    exchange (the previous form shuffled ~500 rows per doc to count them)."""
+    return _spread(docs).filter(F.length("text") >= SHINGLE_K).select(
+        "doc_id",
+        (F.length("text") - (SHINGLE_K - 1)).cast("bigint").alias("n_windows"),
+        F.size(F.array_distinct(_windows(SHINGLE_K))).cast("bigint").alias("n_distinct"),
     )
 
 
@@ -101,35 +130,34 @@ def exact_dup_groups(docs: DataFrame) -> DataFrame:
     )
 
 
-def _shingles_from_sets(sets: DataFrame) -> DataFrame:
-    """(doc_id, sh) re-derived from collected shingle-set arrays — lets every
-    stage downstream of a checkpointed doc_shingle_sets() reuse the one
-    materialized shingle computation instead of re-running the substring
-    explode (the round-2 bench regression: confirmed_pairs re-derived this
-    subtree 3x per action)."""
-    return sets.select("doc_id", F.explode("shs").alias("sh"))
+def _minhash_wide(docs: DataFrame, sets: DataFrame | None = None) -> DataFrame:
+    """(doc_id, m0..m{N_SEEDS-1}): per-seed md5-lexicographic minima, computed
+    ENTIRELY row-local — each seed's minimum is array_min over the per-doc
+    distinct shingle array, so the whole MinHash table costs zero exchanges
+    (the previous form shuffled the multi-million-row exploded shingle table
+    into a groupBy; guide §2.4).  Identical values: min over the same set of
+    the same md5 strings."""
+    s = sets if sets is not None else doc_shingle_sets(docs)
+
+    def seed_min(r: int) -> F.Column:
+        return F.array_min(
+            F.transform(
+                F.col("shs"),
+                lambda sh: F.md5(F.concat_ws(":", F.lit(str(r)), sh).cast("binary")),
+            )
+        ).alias(f"m{r}")
+
+    return s.select("doc_id", *[seed_min(r) for r in range(N_SEEDS)])
 
 
 def minhash_table(docs: DataFrame, sets: DataFrame | None = None) -> DataFrame:
     """(doc_id, r, minh): per-seed md5-lexicographic minima over the distinct
-    shingle set — the portable MinHash.
-
-    One groupBy(doc_id) with N_SEEDS min-aggregates instead of an 8x
-    explode-then-shuffle (the same de-amplification as simhash16): the mins
-    ride map-side partials of a single exchange, and the (doc_id, r, minh)
-    long form is a stack() over N_SEEDS-wide rows — N_SEEDS x #docs rows,
-    not N_SEEDS x #shingles.
+    shingle set — the portable MinHash.  Long form = stack() over the
+    row-local wide table (N_SEEDS x #docs rows, zero exchanges).
 
     ``sets``: optional pre-computed (ideally checkpointed) doc_shingle_sets
-    output to derive the shingles from instead of re-exploding the text."""
-    sh = _shingles_from_sets(sets) if sets is not None else doc_shingles(docs)
-    aggs = [
-        F.min(
-            F.md5(F.concat_ws(":", F.lit(str(r)), F.col("sh")).cast("binary"))
-        ).alias(f"m{r}")
-        for r in range(N_SEEDS)
-    ]
-    wide = sh.groupBy("doc_id").agg(*aggs)
+    output to derive the shingles from instead of re-windowing the text."""
+    wide = _minhash_wide(docs, sets=sets)
     stack_args = ", ".join(f"{r}, m{r}" for r in range(N_SEEDS))
     return wide.select(
         "doc_id",
@@ -138,20 +166,28 @@ def minhash_table(docs: DataFrame, sets: DataFrame | None = None) -> DataFrame:
 
 
 def minhash_bands(docs: DataFrame, sets: DataFrame | None = None) -> DataFrame:
-    """(doc_id, band, band_key): fold ROWS_PER_BAND seed-minima per band."""
-    mh = minhash_table(docs, sets=sets)
-    banded = mh.withColumn("band", F.floor(F.col("r") / ROWS_PER_BAND).cast("int"))
-    return banded.groupBy("doc_id", "band").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("r", "minh"))),
-                    lambda x: x["minh"],
-                ),
-                "|",
-            ).cast("binary")
-        ).alias("band_key")
-    )
+    """(doc_id, band, band_key): fold ROWS_PER_BAND seed-minima per band.
+
+    Row-local like _minhash_wide: band b's key is md5 over the '|'-join of
+    its seed minima in seed order (the same string the previous
+    sort_array(collect_list(struct(r, minh))) aggregation produced), emitted
+    with one explode — no groupBy, no exchange anywhere in the band table."""
+    wide = _minhash_wide(docs, sets=sets)
+    entries = [
+        F.struct(
+            F.lit(b).cast("int").alias("band"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"m{r}") for r in range(b * ROWS_PER_BAND, (b + 1) * ROWS_PER_BAND)],
+                ).cast("binary")
+            ).alias("band_key"),
+        )
+        for b in range(N_BANDS)
+    ]
+    return wide.select(
+        "doc_id", F.explode(F.array(*entries)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_key").alias("band_key"))
 
 
 def capped_buckets(docs: DataFrame, cap: int = BUCKET_CAP, sets: DataFrame | None = None) -> DataFrame:
@@ -173,11 +209,29 @@ def bucket_histogram(docs: DataFrame) -> DataFrame:
 
 
 def candidate_pairs(docs: DataFrame, sets: DataFrame | None = None) -> DataFrame:
-    """S6: bucket self-join -> canonical pairs + co-bucketed band count."""
+    """S6: bucket-local pair expansion -> canonical pairs + co-bucketed band
+    count.
+
+    Same construction as the audio path (pairs.bucket_pairs): group each
+    bucket once, expand member combinations with JVM higher-order functions.
+    ONE pass over the capped bucket table instead of the previous self-join's
+    two (the join referenced the whole minhash subtree from both sides), and
+    the groupBy reuses the bucket window's partitioning, so the only
+    exchanges are the bucket window and the final pair rollup."""
     b = capped_buckets(docs, sets=sets)
-    left = b.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_a"))
-    right = b.select(F.col("band"), F.col("band_key"), F.col("doc_id").alias("doc_b"))
-    hits = left.join(right, ["band", "band_key"]).filter(F.col("doc_a") < F.col("doc_b"))
+    grouped = b.groupBy("band", "band_key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("members")
+    )
+    expand = (
+        "flatten(transform(members, (x, i) -> "
+        "transform(slice(members, i + 2, size(members)), y -> "
+        "struct(x AS doc_a, y AS doc_b))))"
+    )
+    hits = (
+        grouped.filter(F.size("members") >= 2)
+        .select(F.explode(F.expr(expand)).alias("p"))
+        .select("p.*")
+    )
     return hits.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_bands"))
 
 
@@ -185,22 +239,27 @@ def doc_shingle_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, shs array<string>): each doc's distinct shingle set as ONE
     array row — the same payload shape the audio verify uses.  Exact-verify
     joins then move 5k array rows instead of shuffling the multi-million-row
-    exploded shingle table per pair side."""
-    return doc_shingles(docs).groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
+    exploded shingle table per pair side.
+
+    Row-local (array_distinct over the window array): no explode, no
+    distinct shuffle, no groupBy — the set never leaves its row."""
+    return _spread(docs).filter(F.length("text") >= SHINGLE_K).select(
+        "doc_id", F.array_distinct(_windows(SHINGLE_K)).alias("shs")
+    )
 
 
 def pair_jaccard(docs: DataFrame) -> DataFrame:
     """S9: exact Jaccard re-score of candidates -> jaccard_micro BIGINT.
 
-    The shingle-set table is computed ONCE and localCheckpoint'ed — the
-    MinHash/banding subtree inside candidate_pairs and both sides of the
-    verify join all read the materialized blocks instead of re-running the
-    substring explode (Catalyst does not reuse a subtree across differing
-    projections; measured round-2 regression: 3x recompute inside one
-    action).  Candidates are likewise checkpointed (referenced twice, and
-    structurally bounded by the bucket cap)."""
-    sets = doc_shingle_sets(docs).localCheckpoint(eager=False)
-    cand = candidate_pairs(docs, sets=sets).localCheckpoint(eager=False)
+    No checkpoints: with the row-local shingle/minhash chain the shared
+    ``sets`` subtree costs one narrow pass per reference, and A/B timing at
+    sf0.1/32c showed every localCheckpoint variant SLOWER (the materialize
+    barrier + block write/read outweighs recompute: confirmed_pairs 2.8 s
+    checkpointed vs 1.9 s recomputed; the round-2 3x-recompute regression
+    the checkpoints originally fixed was recompute of the exploded-shingle
+    SHUFFLE chain, which no longer exists)."""
+    sets = doc_shingle_sets(docs)
+    cand = candidate_pairs(docs, sets=sets)
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("sh_b"))
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -232,13 +291,12 @@ def probe_matched(docs: DataFrame, threshold: int = JACCARD_MICRO_THRESHOLD) -> 
     classified by the Jaccard threshold.  Output = the matched_clips analog
     (query_id, lib_id, n_bands, jaccard_micro).
 
-    Subtree reuse (the round-2 bench fix): shingle sets are computed once
-    and checkpointed, the band table is computed ONCE over all docs (also
-    checkpointed) and split into query/library sides by filter — the
-    query-side minhash and the library-side minhash previously ran as two
-    full independent passes over the corpus."""
-    sets = doc_shingle_sets(docs).localCheckpoint(eager=False)
-    bands = minhash_bands(docs, sets=sets).localCheckpoint(eager=False)
+    No checkpoints (same A/B as pair_jaccard: at sf0.1/32c the
+    checkpoint-free shape runs ~1.9 s vs ~4.5 s with the band table
+    checkpointed — the row-local minhash chain recomputes for the two
+    band references cheaper than the materialize barrier costs)."""
+    sets = doc_shingle_sets(docs)
+    bands = minhash_bands(docs, sets=sets)
     qb = bands.filter(F.col("doc_id") % 5 == 0).withColumnsRenamed({"doc_id": "query_id"})
     lib_bands = bands.filter(F.col("doc_id") % 5 != 0)
     w = Window.partitionBy("band", "band_key").orderBy("doc_id")

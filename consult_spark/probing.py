@@ -40,8 +40,16 @@ def probe_clips(
     two extra featurize jobs just to size the broadcast hint).  Pass
     ``cache_registry`` to receive the persisted frames for unpersist once
     the returned plan has been fully materialized (the streaming probe
-    does this per epoch); one-shot callers may leave it None and let the
-    session's LRU reclaim."""
+    does this per epoch).
+
+    The query-side cache (bounded by the probe batch) is always persisted —
+    it feeds four consumers and recomputing means re-decoding the queries.
+    The query ∪ FULL-LIBRARY feature union is persisted ONLY for the
+    registry caller that will unpersist it: a one-shot caller
+    (jobs/search.py) previously pinned that history-sized cache — fat
+    shingle payload included — for the rest of the session with no
+    unpersist, contrary to the repo's scan-don't-cache scale rules
+    (ADVICE r7 #2)."""
     q_features = shingle_op.featurize(queries, cfg).persist()
     q_bands = bands_op.explode_bands(q_features)
     cands = pairs_op.probe_candidates(q_bands, lib_buckets, cfg)
@@ -54,8 +62,9 @@ def probe_clips(
     )
     all_features = q_features.unionByName(lib_features).dropDuplicates(
         ["clip_id", "kind"]
-    ).persist()
+    )
     if cache_registry is not None:
+        all_features = all_features.persist()
         cache_registry.extend([q_features, all_features])
     # transcripts for the suffix-array check come from whichever sides have
     # them; a pcm-only index (or pcm-only queries) skips the LCS channel
