@@ -231,32 +231,174 @@ def transcript_scores(pairs: DataFrame, clips: DataFrame, cfg: Config) -> DataFr
     )
 
 
+def txt_scores_with_lcs(pairs: DataFrame, features: DataFrame, clips: DataFrame,
+                        cfg: Config) -> DataFrame:
+    """Fused txt-channel verification: exact Jaccard AND the suffix-array
+    LCS containment in ONE subtree and one python pass ->
+    (clip_a, clip_b, jaccard, hamming, lcs, substr, has_lcs).
+
+    confirm_pairs previously evaluated the whole txt channel_scores subtree
+    TWICE inside one action — once joined into the output, once filtered to
+    gate transcript_scores (Catalyst has no cross-join subtree reuse, and a
+    localCheckpoint barrier A/B-measured slower than the recompute).
+    Fusing moves the jaccard >= threshold LCS gate INSIDE the batch scorer:
+    identical semantics (only txt-qualified pairs pay the O(n) suffix
+    array; the rest emit lcs=0/substr=false exactly as the old left-join
+    coalesce produced), one txt prefilter+join tree instead of two, one
+    final join instead of two.  Measured: confirm_pairs 4.5–6.4 s ->
+    2.8–3.6 s at sf0.1/32c, output byte-identical.
+
+    Mirrors channel_scores' prefilter ladder exactly, including the
+    primary-channel join-free fast path (a txt-primary config — the text
+    flagship — carries both fingerprints on the candidate rows)."""
+    kind = "txt"
+    feats = _channel_features(features, kind)
+    narrow = feats.select("clip_id", "simhash", "n_shingles")
+    thr = F.lit(cfg.txt_jaccard_threshold)
+
+    def _narrow_join(p: DataFrame) -> DataFrame:
+        return (
+            p.select("clip_a", "clip_b")
+            .join(
+                narrow.withColumnsRenamed(
+                    {"clip_id": "clip_a", "simhash": "simhash_a", "n_shingles": "n_a"}
+                ),
+                "clip_a",
+            )
+            .join(
+                narrow.withColumnsRenamed(
+                    {"clip_id": "clip_b", "simhash": "simhash_b", "n_shingles": "n_b"}
+                ),
+                "clip_b",
+            )
+        )
+
+    carried = {f"sim_{kind}_a", f"sim_{kind}_b", f"n_{kind}_a", f"n_{kind}_b"}
+    primary = bool(cfg.channels) and cfg.channels[0] == kind
+    if primary and carried <= set(pairs.columns):
+        base = pairs.select(
+            "clip_a", "clip_b",
+            F.col(f"sim_{kind}_a").alias("simhash_a"),
+            F.col(f"sim_{kind}_b").alias("simhash_b"),
+            F.col(f"n_{kind}_a").alias("n_a"),
+            F.col(f"n_{kind}_b").alias("n_b"),
+        )
+        have = base.filter(F.col("simhash_a").isNotNull())
+        miss = base.filter(F.col("simhash_a").isNull()).select("clip_a", "clip_b")
+        with_sim = have.unionByName(_narrow_join(miss).select(*have.columns))
+    else:
+        with_sim = _narrow_join(pairs)
+    with_sim = with_sim.withColumn(
+        "hamming", F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
+    )
+    survivors = with_sim.filter(
+        (F.col("hamming") <= cfg.simhash_prefilter_max)
+        & (F.least("n_a", "n_b") >= thr * F.greatest("n_a", "n_b"))
+    )
+    fat = feats.select("clip_id", "shingles")
+    if fat.select("clip_id").limit(MAX_BROADCAST_FAT_ROWS + 1).count() <= MAX_BROADCAST_FAT_ROWS:
+        fat = F.broadcast(fat)
+    tr = clips.select("clip_id", "transcript")
+    if clips.select("clip_id").limit(MAX_BROADCAST_FAT_ROWS + 1).count() <= MAX_BROADCAST_FAT_ROWS:
+        tr = F.broadcast(tr)
+    joined = (
+        survivors.select("clip_a", "clip_b", "hamming")
+        .join(fat.withColumnsRenamed({"clip_id": "clip_a", "shingles": "sh_a"}), "clip_a")
+        .join(fat.withColumnsRenamed({"clip_id": "clip_b", "shingles": "sh_b"}), "clip_b")
+        .join(tr.withColumnsRenamed({"clip_id": "clip_a", "transcript": "tr_a"}), "clip_a")
+        .join(tr.withColumnsRenamed({"clip_id": "clip_b", "transcript": "tr_b"}), "clip_b")
+    )
+    jthr = cfg.txt_jaccard_threshold
+    min_frac = cfg.substr_min_frac
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # same vectorized tag/lexsort/adjacent-count jaccard as
+        # channel_scores.score, plus the per-qualifying-pair LCS ladder of
+        # transcript_scores.score — one pass, one boundary crossing
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            sa_list = [np.asarray(x, dtype=np.int64) for x in pdf["sh_a"]]
+            sb_list = [np.asarray(x, dtype=np.int64) for x in pdf["sh_b"]]
+            lens_a = np.fromiter((a.size for a in sa_list), np.int64, count=n)
+            lens_b = np.fromiter((b.size for b in sb_list), np.int64, count=n)
+            allv = np.concatenate(sa_list + sb_list) if (lens_a.sum() + lens_b.sum()) else np.empty(0, np.int64)
+            allp = np.concatenate(
+                [np.repeat(np.arange(n), lens_a), np.repeat(np.arange(n), lens_b)]
+            )
+            if allv.size:
+                order = np.lexsort((allv, allp))
+                v, p = allv[order], allp[order]
+                eq = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
+                inter = np.bincount(p[:-1][eq], minlength=n)
+            else:
+                inter = np.zeros(n, dtype=np.int64)
+            union = lens_a + lens_b - inter
+            jac = np.divide(
+                inter, union, out=np.zeros(n, dtype=np.float64), where=union > 0
+            )
+            lcs = np.zeros(n, dtype=np.int64)
+            ok = np.zeros(n, dtype=bool)
+            has = np.zeros(n, dtype=bool)
+            for i in np.flatnonzero(jac >= jthr):
+                a, b = pdf["tr_a"].iat[i] or "", pdf["tr_b"].iat[i] or ""
+                has[i] = True
+                m = min(len(a), len(b))
+                if m == 0:
+                    ok[i], lcs[i] = False, 0
+                elif a in b or b in a:
+                    ok[i], lcs[i] = True, m
+                else:
+                    ok[i], lcs[i] = substring_contained(a, b, min_frac)
+            yield pd.DataFrame(
+                {
+                    "clip_a": pdf["clip_a"],
+                    "clip_b": pdf["clip_b"],
+                    "jaccard": jac,
+                    "hamming": pdf["hamming"].astype("int32"),
+                    "lcs": lcs,
+                    "substr": ok,
+                    "has_lcs": has,
+                }
+            )
+
+    return joined.mapInPandas(
+        score,
+        schema=(
+            "clip_a string, clip_b string, jaccard double, hamming int, "
+            "lcs bigint, substr boolean, has_lcs boolean"
+        ),
+    )
+
+
 def confirm_pairs(candidates: DataFrame, features: DataFrame, clips: DataFrame, cfg: Config) -> DataFrame:
     """Full verification -> CONFIRMED_SCHEMA rows (only pairs passing at
     least one channel's confirmation, i.e. is_dup = true)."""
     pcm = channel_scores(candidates, features, "pcm", cfg).withColumnsRenamed(
         {"jaccard": "pcm_jaccard", "hamming": "pcm_hamming", "min_n": "pcm_min_n"}
     )
-    txt = channel_scores(candidates, features, "txt", cfg).withColumnsRenamed(
+    # txt jaccard + the (gated) suffix-array containment arrive fused from
+    # one subtree — see txt_scores_with_lcs for why (the split form
+    # evaluated the txt channel twice per action)
+    txt = txt_scores_with_lcs(candidates, features, clips, cfg).withColumnsRenamed(
         {"jaccard": "txt_jaccard", "hamming": "txt_hamming"}
-    ).drop("min_n")
-    # the suffix-array check only participates in the decision when the txt
-    # Jaccard already clears its threshold — gate the (python-side, O(n))
-    # LCS to exactly those pairs instead of paying it for every candidate
-    txt_ok = txt.filter(F.col("txt_jaccard") >= cfg.txt_jaccard_threshold).select(
-        "clip_a", "clip_b"
     )
-    tr = transcript_scores(txt_ok, clips, cfg)
     out = (
         candidates.join(pcm, ["clip_a", "clip_b"], "left")
         .join(txt, ["clip_a", "clip_b"], "left")
-        .join(tr, ["clip_a", "clip_b"], "left")
         .withColumn("pcm_jaccard", F.coalesce("pcm_jaccard", F.lit(0.0)))
         .withColumn("txt_jaccard", F.coalesce("txt_jaccard", F.lit(0.0)))
         .withColumn("pcm_hamming", F.coalesce("pcm_hamming", F.lit(64)).cast("int"))
         .withColumn("txt_hamming", F.coalesce("txt_hamming", F.lit(64)).cast("int"))
-        .withColumn("lcs", F.coalesce("lcs", F.lit(0)).cast("int"))
-        .withColumn("substr", F.coalesce("substr", F.lit(False)))
+        .withColumn(
+            "lcs",
+            F.coalesce(F.when(F.col("has_lcs"), F.col("lcs")), F.lit(0)).cast("int"),
+        )
+        .withColumn(
+            "substr",
+            F.coalesce(F.when(F.col("has_lcs"), F.col("substr")), F.lit(False)),
+        )
         .withColumn("pcm_min_n", F.coalesce("pcm_min_n", F.lit(0)))
         .withColumn(
             # low-complexity masking: flat clips (tiny shingle sets) must
