@@ -61,7 +61,19 @@ class Warehouse:
                 from pyspark.sql import functions as F
 
                 w = w.partitionedBy(*[F.col(c) for c in partition_by])
-            w.createOrReplace()
+            # honor mode: createOrReplace() on an append would TRUNCATE the
+            # history table down to the delta — fold_delta/grow_index append
+            # features/transcripts/confirmed_pairs, and the snapshot/restore
+            # guard is parquet-only, so nothing would catch the loss
+            # (ADVICE r7 #1).  Iceberg's append() requires the table to
+            # exist; fall back to create for a first write under append.
+            if mode == "append":
+                if self.spark.catalog.tableExists(f"local.db.{name}"):
+                    w.append()
+                else:
+                    w.create()
+            else:
+                w.createOrReplace()
             n = self.spark.read.table(f"local.db.{name}").count()
         else:
             w = df.write.mode(mode)

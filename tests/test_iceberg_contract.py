@@ -34,6 +34,12 @@ class _FakeWriteTo:
     def createOrReplace(self):
         self.calls.log.append(("createOrReplace", self.table))
 
+    def append(self):
+        self.calls.log.append(("append", self.table))
+
+    def create(self):
+        self.calls.log.append(("create", self.table))
+
 
 class _FakeDF:
     def __init__(self, calls):
@@ -58,9 +64,18 @@ class _FakeRead:
         return _T()
 
 
+class _FakeCatalog:
+    def __init__(self, existing):
+        self.existing = existing
+
+    def tableExists(self, name):
+        return name in self.existing
+
+
 class _FakeSpark:
-    def __init__(self, calls):
+    def __init__(self, calls, existing_tables=()):
         self.read = _FakeRead(calls)
+        self.catalog = _FakeCatalog(set(existing_tables))
 
 
 def test_warehouse_routes_through_iceberg_tables(tmp_path, monkeypatch):
@@ -84,6 +99,29 @@ def test_warehouse_routes_through_iceberg_tables(tmp_path, monkeypatch):
     # the manifest contract (resumability) is written in both modes
     m = wh.manifest("features")
     assert m["rows"] == 7 and m["params_hash"] == Config().params_hash
+
+
+def test_warehouse_iceberg_append_honors_mode(tmp_path, monkeypatch):
+    """mode='append' must APPEND to an existing Iceberg table — the
+    previous unconditional createOrReplace() would have replaced the whole
+    history table with just the delta on every fold_delta/grow_index append
+    (ADVICE r7 #1, data loss with no parquet-mode snapshot guard to catch
+    it).  First write under append (no table yet) creates instead."""
+    monkeypatch.setenv("CONSULT_SPARK_ICEBERG_JAR", "/opt/jars/iceberg-runtime.jar")
+    calls = _Calls()
+    wh = Warehouse(
+        _FakeSpark(calls, existing_tables=("local.db.features",)),
+        str(tmp_path / "wh"), Config(),
+    )
+    wh.write(_FakeDF(calls), "features", mode="append")
+    assert ("append", "local.db.features") in calls.log
+    assert ("createOrReplace", "local.db.features") not in calls.log
+
+    calls2 = _Calls()
+    wh2 = Warehouse(_FakeSpark(calls2), str(tmp_path / "wh2"), Config())
+    wh2.write(_FakeDF(calls2), "features", mode="append")
+    assert ("create", "local.db.features") in calls2.log
+    assert ("append", "local.db.features") not in calls2.log
 
 
 def test_warehouse_parquet_fallback_without_jar(monkeypatch):
