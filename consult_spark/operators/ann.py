@@ -421,15 +421,23 @@ def ivf_topk(emb: DataFrame, k: int = 3, n_cells: int = 32, seed: int = 0x1F5,
         m = np.stack(pdf["q"].to_numpy()).astype(np.int64)
         norms = pdf["norm_q"].to_numpy().astype(np.int64)
         lm, lids, lnorms = m[lib_mask], ids[lib_mask], norms[lib_mask]
-        dots = m @ lm.T  # exact int64, probe x lib
-        sim = np.floor(
-            1_000_000.0 * dots / np.sqrt((norms[:, None] * lnorms[None, :]).astype(np.float64))
-        ).astype(np.int64)
-        keep = ids[:, None] != lids[None, :]
-        ii, jj = np.nonzero(keep)
-        return pd.DataFrame(
-            {"vec_a": ids[ii], "vec_b": lids[jj], "sim_micro": sim[ii, jj]}
-        )
+        frames = []
+        # probe-axis blocked: peak memory O(block * n_lib), not
+        # O(n_probe * n_lib) — cells grow with n at fixed n_cells
+        for lo in range(0, len(ids), 256):
+            hi = min(lo + 256, len(ids))
+            dots = m[lo:hi] @ lm.T  # exact int64, probe x lib
+            prod = (norms[lo:hi, None] * lnorms[None, :]).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                simf = np.floor(1_000_000.0 * dots / np.sqrt(prod))
+            # NaN (zero-norm) -> 0, matching Spark's non-ANSI bigint cast
+            sim = np.where(np.isfinite(simf), simf, 0.0).astype(np.int64)
+            keep = ids[lo:hi, None] != lids[None, :]
+            ii, jj = np.nonzero(keep)
+            frames.append(pd.DataFrame(
+                {"vec_a": ids[lo:hi][ii], "vec_b": lids[jj], "sim_micro": sim[ii, jj]}
+            ))
+        return pd.concat(frames, ignore_index=True)
 
     scores = side.groupBy("cell").applyInPandas(
         cell_scores, schema="vec_a bigint, vec_b bigint, sim_micro bigint"
@@ -469,24 +477,33 @@ def lsh_bucketed_topk(emb: DataFrame, k: int = 3, n_planes: int = 12) -> DataFra
             ids = pdf["vec_id"].to_numpy()
             m = np.stack(pdf["q"].to_numpy()).astype(np.int64)
             norms = pdf["norm_q"].to_numpy().astype(np.int64)
-            dots = m @ m.T  # exact int64
-            sim = np.floor(
-                1_000_000.0 * dots / np.sqrt((norms[:, None] * norms[None, :]).astype(np.float64))
-            ).astype(np.int64)
-            for i in range(n):
-                row = sim[i]
-                keys = np.lexsort((ids, -row))  # sim desc, vec_b asc
-                taken = 0
-                for j in keys:
-                    if ids[j] == ids[i]:
-                        continue
-                    taken += 1
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-                    out_s.append(row[j])
-                    out_r.append(taken)
-                    if taken == k:
-                        break
+            # row-blocked so peak memory is O(block * group), not
+            # O(group^2) — a hot bucket must not OOM one python worker
+            for lo in range(0, n, 256):
+                hi = min(lo + 256, n)
+                dots = m[lo:hi] @ m.T  # exact int64
+                prod = (norms[lo:hi, None] * norms[None, :]).astype(np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    simf = np.floor(1_000_000.0 * dots / np.sqrt(prod))
+                # zero-norm vectors: 0/0 -> NaN; Spark's non-ANSI
+                # cast(NaN as bigint) is 0 — match it instead of numpy's
+                # undefined NaN->int64
+                sim = np.where(np.isfinite(simf), simf, 0.0).astype(np.int64)
+                for bi in range(hi - lo):
+                    i = lo + bi
+                    row = sim[bi]
+                    keys = np.lexsort((ids, -row))  # sim desc, vec_b asc
+                    taken = 0
+                    for j in keys:
+                        if ids[j] == ids[i]:
+                            continue
+                        taken += 1
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+                        out_s.append(row[j])
+                        out_r.append(taken)
+                        if taken == k:
+                            break
         return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "sim_micro": out_s, "rank": out_r})
 
     return b.groupBy("bucket").applyInPandas(

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .textdedup import _spread  # shared docs-table repartition helper
+
 SIMHASH_BITS = 16
 
 # tiny embedded stopword lists for the n-gram language-ID heuristic; the
@@ -185,15 +187,6 @@ def corpus_stats(spark, docs: DataFrame) -> DataFrame:
             F.sum(F.coalesce("n_token_chars", F.lit(0))).alias("total_token_chars"),
         )
     )
-
-
-def _spread(docs: DataFrame) -> DataFrame:
-    """Hash-repartition the (tiny) documents table across the session's
-    parallelism: the row-local fingerprint below is shuffle-free, so it
-    inherits the scan's partitioning — a one-row-group parquet would
-    otherwise serialize it on one core (same helper as textdedup._spread)."""
-    n = docs.sparkSession.sparkContext.defaultParallelism
-    return docs.repartition(n, "doc_id")
 
 
 def simhash16(docs: DataFrame) -> DataFrame:

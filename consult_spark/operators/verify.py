@@ -53,8 +53,11 @@ def _channel_features(features: DataFrame, kind: str) -> DataFrame:
     )
 
 
-def channel_scores(pairs: DataFrame, features: DataFrame, kind: str, cfg: Config) -> DataFrame:
-    """pairs x features -> (clip_a, clip_b, jaccard, hamming, min_n).
+def _prefiltered_survivors(pairs: DataFrame, features: DataFrame, kind: str,
+                           cfg: Config) -> tuple[DataFrame, DataFrame]:
+    """Shared prefilter ladder for one channel -> (survivors, feats) where
+    survivors = (clip_a, clip_b, hamming) rows that may still verify and
+    feats is the channel's feature projection.
 
     Two cheap prunes run on the narrow (clip_id, simhash, n_shingles)
     projection BEFORE the shingle arrays are joined in, so pairs that cannot
@@ -64,7 +67,9 @@ def channel_scores(pairs: DataFrame, features: DataFrame, kind: str, cfg: Config
       2. containment bound: jaccard <= min_n/max_n, so if the size ratio is
          already below the pair's applicable threshold the exact jaccard
          cannot clear it — size-mismatched pairs die for 16 bytes of IO.
-    """
+
+    One implementation serves channel_scores AND txt_scores_with_lcs so the
+    fused path cannot drift from the per-channel one."""
     feats = _channel_features(features, kind)
     narrow = feats.select("clip_id", "simhash", "n_shingles")
     if kind == "pcm":
@@ -125,57 +130,74 @@ def channel_scores(pairs: DataFrame, features: DataFrame, kind: str, cfg: Config
     survivors = with_sim.filter(
         (F.col("hamming") <= cfg.simhash_prefilter_max)
         & (F.least("n_a", "n_b") >= thr * F.greatest("n_a", "n_b"))
+    ).select("clip_a", "clip_b", "hamming")
+    return survivors, feats
+
+
+def _broadcast_if_bounded(df: DataFrame) -> DataFrame:
+    """Size-routed broadcast hint (one cheap bounded count).  Catalyst's own
+    size estimate broadcasts the NARROW survivors side and streams the fat
+    cache — correct by size, but it puts the python scoring behind the fat
+    table's partitioning and scans the shingle arrays through the join
+    probe.  When the side's row count is bounded, broadcasting it instead
+    is strictly better (the survivors stream in their existing
+    distribution, one broadcast build serves both aliased join sides) —
+    measured ~1 s off the sf0.1 verify stage.  Above the bound the hint is
+    omitted so the 10^12 path keeps the shuffled join."""
+    if df.select("clip_id").limit(MAX_BROADCAST_FAT_ROWS + 1).count() <= MAX_BROADCAST_FAT_ROWS:
+        return F.broadcast(df)
+    return df
+
+
+def _batch_jaccard(pdf: pd.DataFrame):
+    """Vectorized exact Jaccard over one Arrow batch of (sh_a, sh_b) pairs
+    -> (jac float64[n], lens_a, lens_b).  ONE lexsort pass instead of a
+    python loop with a sort per pair: tag every shingle with its pair
+    index, lexsort (value within pair), and count adjacent equal values —
+    each side's set is unique, so an intersection element appears exactly
+    twice and lands adjacent.  Measured 6.6 s -> ~4 s on the sf0.1 verify
+    stage when this replaced the per-pair loop."""
+    n = len(pdf)
+    sa_list = [np.asarray(x, dtype=np.int64) for x in pdf["sh_a"]]
+    sb_list = [np.asarray(x, dtype=np.int64) for x in pdf["sh_b"]]
+    lens_a = np.fromiter((a.size for a in sa_list), np.int64, count=n)
+    lens_b = np.fromiter((b.size for b in sb_list), np.int64, count=n)
+    allv = np.concatenate(sa_list + sb_list) if (lens_a.sum() + lens_b.sum()) else np.empty(0, np.int64)
+    allp = np.concatenate(
+        [np.repeat(np.arange(n), lens_a), np.repeat(np.arange(n), lens_b)]
     )
-    fat = feats.select("clip_id", "shingles")
-    # Catalyst's own size estimate broadcasts the NARROW survivors side and
-    # streams the fat cache — correct by size, but it puts the python
-    # scoring behind the fat table's partitioning and scans the shingle
-    # arrays through the join probe.  When the channel's clip count is
-    # bounded, broadcasting the FAT side instead is strictly better (the
-    # survivors stream in their existing distribution, one broadcast build
-    # serves both aliased join sides) — measured ~1 s off the sf0.1 verify
-    # stage.  Size-routed: the count() is a 1-column scan of the (cached in
-    # every caller) feature table, and above the bound the hint is omitted
-    # so the 10^12 path keeps the shuffled join.
-    if fat.select("clip_id").limit(MAX_BROADCAST_FAT_ROWS + 1).count() <= MAX_BROADCAST_FAT_ROWS:
-        fat = F.broadcast(fat)
+    if allv.size:
+        order = np.lexsort((allv, allp))
+        v, p = allv[order], allp[order]
+        eq = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
+        inter = np.bincount(p[:-1][eq], minlength=n)
+    else:
+        inter = np.zeros(n, dtype=np.int64)
+    union = lens_a + lens_b - inter
+    jac = np.divide(
+        inter, union, out=np.zeros(n, dtype=np.float64), where=union > 0
+    )
+    return jac, lens_a, lens_b
+
+
+def channel_scores(pairs: DataFrame, features: DataFrame, kind: str, cfg: Config) -> DataFrame:
+    """pairs x features -> (clip_a, clip_b, jaccard, hamming, min_n) via the
+    shared prefilter ladder (_prefiltered_survivors) + the size-routed fat
+    shingle join + the vectorized Jaccard kernel (_batch_jaccard)."""
+    survivors, feats = _prefiltered_survivors(pairs, features, kind, cfg)
+    fat = _broadcast_if_bounded(feats.select("clip_id", "shingles"))
     joined = (
-        survivors.select("clip_a", "clip_b", "hamming")
+        survivors
         .join(fat.withColumnsRenamed({"clip_id": "clip_a", "shingles": "sh_a"}), "clip_a")
         .join(fat.withColumnsRenamed({"clip_id": "clip_b", "shingles": "sh_b"}), "clip_b")
     )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # ONE vectorized pass per Arrow batch instead of a python loop with
-        # a sort per pair: tag every shingle with its pair index, lexsort
-        # (value within pair) once, and count adjacent equal values — each
-        # side's set is unique, so an intersection element appears exactly
-        # twice and lands adjacent.  Measured 6.6 s -> ~4 s on the sf0.1
-        # verify stage (the loop's per-pair interpreter overhead dominated).
         for pdf in batches:
             n = len(pdf)
             if not n:
                 continue
-            sa_list = [np.asarray(x, dtype=np.int64) for x in pdf["sh_a"]]
-            sb_list = [np.asarray(x, dtype=np.int64) for x in pdf["sh_b"]]
-            lens_a = np.fromiter((a.size for a in sa_list), np.int64, count=n)
-            lens_b = np.fromiter((b.size for b in sb_list), np.int64, count=n)
-            allv = np.concatenate(sa_list + sb_list) if (lens_a.sum() + lens_b.sum()) else np.empty(0, np.int64)
-            allp = np.concatenate(
-                [np.repeat(np.arange(n), lens_a), np.repeat(np.arange(n), lens_b)]
-            )
-            if allv.size:
-                order = np.lexsort((allv, allp))
-                v, p = allv[order], allp[order]
-                eq = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
-                inter = np.bincount(p[:-1][eq], minlength=n)
-            else:
-                inter = np.zeros(n, dtype=np.int64)
-            union = lens_a + lens_b - inter
-            jac = np.divide(
-                inter, union, out=np.zeros(n, dtype=np.float64),
-                where=union > 0,
-            )
+            jac, lens_a, lens_b = _batch_jaccard(pdf)
             yield pd.DataFrame(
                 {
                     "clip_a": pdf["clip_a"],
@@ -193,7 +215,11 @@ def channel_scores(pairs: DataFrame, features: DataFrame, kind: str, cfg: Config
 
 
 def transcript_scores(pairs: DataFrame, clips: DataFrame, cfg: Config) -> DataFrame:
-    """Suffix-array LCS containment per pair -> (clip_a, clip_b, lcs, substr)."""
+    """Suffix-array LCS containment per pair -> (clip_a, clip_b, lcs, substr).
+
+    Standalone form of the LCS stage (score any pair set you hand it);
+    confirm_pairs itself uses the fused txt_scores_with_lcs below, which
+    embeds the same ladder behind the txt-jaccard gate."""
     tr = clips.select("clip_id", "transcript")
     joined = (
         pairs.select("clip_a", "clip_b")
@@ -248,101 +274,43 @@ def txt_scores_with_lcs(pairs: DataFrame, features: DataFrame, clips: DataFrame,
     final join instead of two.  Measured: confirm_pairs 4.5–6.4 s ->
     2.8–3.6 s at sf0.1/32c, output byte-identical.
 
-    Mirrors channel_scores' prefilter ladder exactly, including the
-    primary-channel join-free fast path (a txt-primary config — the text
-    flagship — carries both fingerprints on the candidate rows)."""
-    kind = "txt"
-    feats = _channel_features(features, kind)
-    narrow = feats.select("clip_id", "simhash", "n_shingles")
-    thr = F.lit(cfg.txt_jaccard_threshold)
-
-    def _narrow_join(p: DataFrame) -> DataFrame:
-        return (
-            p.select("clip_a", "clip_b")
-            .join(
-                narrow.withColumnsRenamed(
-                    {"clip_id": "clip_a", "simhash": "simhash_a", "n_shingles": "n_a"}
-                ),
-                "clip_a",
-            )
-            .join(
-                narrow.withColumnsRenamed(
-                    {"clip_id": "clip_b", "simhash": "simhash_b", "n_shingles": "n_b"}
-                ),
-                "clip_b",
-            )
-        )
-
-    carried = {f"sim_{kind}_a", f"sim_{kind}_b", f"n_{kind}_a", f"n_{kind}_b"}
-    primary = bool(cfg.channels) and cfg.channels[0] == kind
-    if primary and carried <= set(pairs.columns):
-        base = pairs.select(
-            "clip_a", "clip_b",
-            F.col(f"sim_{kind}_a").alias("simhash_a"),
-            F.col(f"sim_{kind}_b").alias("simhash_b"),
-            F.col(f"n_{kind}_a").alias("n_a"),
-            F.col(f"n_{kind}_b").alias("n_b"),
-        )
-        have = base.filter(F.col("simhash_a").isNotNull())
-        miss = base.filter(F.col("simhash_a").isNull()).select("clip_a", "clip_b")
-        with_sim = have.unionByName(_narrow_join(miss).select(*have.columns))
-    else:
-        with_sim = _narrow_join(pairs)
-    with_sim = with_sim.withColumn(
-        "hamming", F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
-    )
-    survivors = with_sim.filter(
-        (F.col("hamming") <= cfg.simhash_prefilter_max)
-        & (F.least("n_a", "n_b") >= thr * F.greatest("n_a", "n_b"))
-    )
-    fat = feats.select("clip_id", "shingles")
-    if fat.select("clip_id").limit(MAX_BROADCAST_FAT_ROWS + 1).count() <= MAX_BROADCAST_FAT_ROWS:
-        fat = F.broadcast(fat)
-    tr = clips.select("clip_id", "transcript")
-    if clips.select("clip_id").limit(MAX_BROADCAST_FAT_ROWS + 1).count() <= MAX_BROADCAST_FAT_ROWS:
-        tr = F.broadcast(tr)
+    Uses the SAME _prefiltered_survivors ladder as channel_scores (the
+    primary-channel join-free fast path included — a txt-primary config,
+    the text flagship, carries both fingerprints on the candidate rows).
+    Transcripts attach with LEFT joins: a clip with txt features but no
+    transcripts row (e.g. an index whose transcripts table is absent or
+    params-mismatched) keeps its real jaccard/hamming and falls back to
+    lcs=0/substr=false — exactly what the old split flow produced for
+    missing-transcript pairs."""
+    survivors, feats = _prefiltered_survivors(pairs, features, "txt", cfg)
+    fat = _broadcast_if_bounded(feats.select("clip_id", "shingles"))
+    tr = _broadcast_if_bounded(clips.select("clip_id", "transcript"))
     joined = (
-        survivors.select("clip_a", "clip_b", "hamming")
+        survivors
         .join(fat.withColumnsRenamed({"clip_id": "clip_a", "shingles": "sh_a"}), "clip_a")
         .join(fat.withColumnsRenamed({"clip_id": "clip_b", "shingles": "sh_b"}), "clip_b")
-        .join(tr.withColumnsRenamed({"clip_id": "clip_a", "transcript": "tr_a"}), "clip_a")
-        .join(tr.withColumnsRenamed({"clip_id": "clip_b", "transcript": "tr_b"}), "clip_b")
+        .join(tr.withColumnsRenamed({"clip_id": "clip_a", "transcript": "tr_a"}), "clip_a", "left")
+        .join(tr.withColumnsRenamed({"clip_id": "clip_b", "transcript": "tr_b"}), "clip_b", "left")
     )
     jthr = cfg.txt_jaccard_threshold
     min_frac = cfg.substr_min_frac
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # same vectorized tag/lexsort/adjacent-count jaccard as
-        # channel_scores.score, plus the per-qualifying-pair LCS ladder of
-        # transcript_scores.score — one pass, one boundary crossing
+        # the shared jaccard kernel, plus the per-qualifying-pair LCS ladder
+        # of transcript_scores.score — one pass, one boundary crossing
         for pdf in batches:
             n = len(pdf)
             if not n:
                 continue
-            sa_list = [np.asarray(x, dtype=np.int64) for x in pdf["sh_a"]]
-            sb_list = [np.asarray(x, dtype=np.int64) for x in pdf["sh_b"]]
-            lens_a = np.fromiter((a.size for a in sa_list), np.int64, count=n)
-            lens_b = np.fromiter((b.size for b in sb_list), np.int64, count=n)
-            allv = np.concatenate(sa_list + sb_list) if (lens_a.sum() + lens_b.sum()) else np.empty(0, np.int64)
-            allp = np.concatenate(
-                [np.repeat(np.arange(n), lens_a), np.repeat(np.arange(n), lens_b)]
-            )
-            if allv.size:
-                order = np.lexsort((allv, allp))
-                v, p = allv[order], allp[order]
-                eq = (p[1:] == p[:-1]) & (v[1:] == v[:-1])
-                inter = np.bincount(p[:-1][eq], minlength=n)
-            else:
-                inter = np.zeros(n, dtype=np.int64)
-            union = lens_a + lens_b - inter
-            jac = np.divide(
-                inter, union, out=np.zeros(n, dtype=np.float64), where=union > 0
-            )
+            jac, _lens_a, _lens_b = _batch_jaccard(pdf)
             lcs = np.zeros(n, dtype=np.int64)
             ok = np.zeros(n, dtype=bool)
             has = np.zeros(n, dtype=bool)
             for i in np.flatnonzero(jac >= jthr):
-                a, b = pdf["tr_a"].iat[i] or "", pdf["tr_b"].iat[i] or ""
+                # left-joined transcripts arrive as None/NaN when absent
+                a, b = pdf["tr_a"].iat[i], pdf["tr_b"].iat[i]
+                a = a if isinstance(a, str) else ""
+                b = b if isinstance(b, str) else ""
                 has[i] = True
                 m = min(len(a), len(b))
                 if m == 0:
