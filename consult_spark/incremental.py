@@ -189,6 +189,11 @@ def fold_delta(
     buckets are re-capped in the touched keys only, clusters are merged
     incrementally (operators/cluster.merge_clusters), unique_clips is
     maintained by an O(delta) add/remove.  Returns a summary dict.
+
+    ``bucket_stats`` is NOT refreshed (same staleness as grow_index, and
+    for the same reason: an exact occupancy histogram needs the uncapped
+    band table, an O(history) pass) — a consumer reading it after a fold
+    sees the pre-fold drop accounting (ADVICE r7 #4).
     """
     cfg = cfg or Config()
     wh = Warehouse(spark, warehouse_dir, cfg, run_id=run_id)

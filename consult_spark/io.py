@@ -36,6 +36,14 @@ class Warehouse:
         if not self.run_id:
             self.run_id = uuid.uuid4().hex[:12]
         self.use_iceberg = iceberg_available()
+        # a restore() interrupted between its two renames leaves the
+        # promoted-snapshot payload under the fixed incoming name with no
+        # live root; finish the promotion instead of mkdir-ing an empty
+        # warehouse over it (ADVICE r7 #3)
+        live = self.root.rstrip("/")
+        incoming = f"{live}.__restore_incoming"
+        if os.path.isdir(incoming) and not os.path.isdir(live):
+            os.replace(incoming, live)
         # manifests live under root in BOTH modes (Iceberg holds the data,
         # the resume contract still needs its JSON sidecars)
         os.makedirs(self.root, exist_ok=True)
@@ -146,17 +154,27 @@ class Warehouse:
         return snap
 
     def restore(self, snap: str) -> None:
-        """Discard the live warehouse and promote the snapshot (rename —
-        atomic at the directory level)."""
+        """Discard the live warehouse and promote the snapshot.  Two
+        directory renames cannot be one atomic op, so the snapshot is
+        first staged under a FIXED ``<root>.__restore_incoming`` name:
+        a crash before the live tree is discarded loses nothing (live
+        intact, restore rerunnable from the staged payload), and a crash
+        after it leaves the discoverable incoming dir that
+        ``__post_init__`` promotes on the next open (ADVICE r7 #3)."""
         import shutil
 
-        if not os.path.isdir(snap):
-            raise FileNotFoundError(f"no snapshot at {snap}")
         live = self.root.rstrip("/")
+        incoming = f"{live}.__restore_incoming"
         trash = f"{live}.__restore_trash"
+        if os.path.isdir(snap):
+            shutil.rmtree(incoming, ignore_errors=True)
+            os.replace(snap, incoming)
+        elif not os.path.isdir(incoming):
+            raise FileNotFoundError(f"no snapshot at {snap}")
         shutil.rmtree(trash, ignore_errors=True)
-        os.replace(live, trash)
-        os.replace(snap, live)
+        if os.path.isdir(live):
+            os.replace(live, trash)
+        os.replace(incoming, live)
         shutil.rmtree(trash, ignore_errors=True)
 
     def drop_snapshot(self, snap: str) -> None:

@@ -217,6 +217,51 @@ def test_snapshot_restore_recovers_failed_fold(spark, corpus_xs, tmp_path, monke
     assert summary["n_confirmed_total"] == 1374  # full-corpus golden
 
 
+def test_restore_crash_window_recovers(spark, tmp_path):
+    """A restore() interrupted between discarding the live tree and
+    promoting the snapshot must not lose the warehouse: the payload is
+    staged under the fixed __restore_incoming name, and the next
+    Warehouse open completes the promotion instead of mkdir-ing an
+    empty root over it (ADVICE r7 #3)."""
+    import os
+    import shutil
+
+    from consult_spark.io import Warehouse
+
+    root = str(tmp_path / "wh")
+    os.makedirs(root)
+    with open(os.path.join(root, "payload.txt"), "w") as f:
+        f.write("v1")
+    cfg = Config()
+    wh = Warehouse(spark, root, cfg)
+
+    # simulate the exact crash window: snapshot staged as incoming, live
+    # tree already discarded to trash, promotion rename never ran
+    snap = wh.snapshot(tag="t")
+    with open(os.path.join(root, "extra.txt"), "w") as f:
+        f.write("dirty")
+    os.replace(snap, f"{root}.__restore_incoming")
+    os.replace(root, f"{root}.__restore_trash")
+
+    Warehouse(spark, root, cfg)  # next open finishes the promotion
+    with open(os.path.join(root, "payload.txt")) as f:
+        assert f.read() == "v1"
+    assert not os.path.exists(os.path.join(root, "extra.txt"))
+    assert not os.path.isdir(f"{root}.__restore_incoming")
+    shutil.rmtree(f"{root}.__restore_trash", ignore_errors=True)
+
+    # restore() itself must also resume from a staged incoming payload
+    # (crash after the snap->incoming rename: snap path is consumed)
+    snap2 = wh.snapshot(tag="t2")
+    with open(os.path.join(root, "extra.txt"), "w") as f:
+        f.write("dirty2")
+    os.replace(snap2, f"{root}.__restore_incoming")
+    wh.restore(snap2)
+    with open(os.path.join(root, "payload.txt")) as f:
+        assert f.read() == "v1"
+    assert not os.path.exists(os.path.join(root, "extra.txt"))
+
+
 def test_fold_rejects_params_mismatch(spark, corpus_xs, tmp_path):
     """A warehouse built under one params_hash refuses a fold configured
     with another (same contract as Warehouse.read_config)."""
